@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+Runs the whole suite on a *virtual 8-device CPU mesh* so the multi-chip
+sharding paths (shard_map / psum min-reduces) execute in CI without TPU
+hardware — the idiomatic JAX fake-multi-node backend (see SURVEY.md §4).
+Must set flags before the first ``import jax``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The env var JAX_PLATFORMS is overridden by the TPU plugin in this image;
+# the config knob wins, so set it explicitly to keep tests on the CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache keeps repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
