@@ -1,0 +1,118 @@
+"""Command-line entry points: render / invert / bench.
+
+The reference's "CLI" is a Lambda payload (``events/event.json``) posted at a
+deployed endpoint; here the same knobs are flags (or ``--config config.json``
+using the payload-style :class:`ptx.config.RenderConfig` schema).
+
+Usage:
+    python -m ptx.cli render --scene scenes/cornell.gltf --out out.png \
+        --width 256 --height 256 --samples 16 --bounces 4
+    python -m ptx.cli bench --scene scenes/cornell.gltf
+    python -m ptx.cli invert --scene scenes/cornell.gltf --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser):
+    p.add_argument("--scene", required=True)
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--samples", type=int, default=50)
+    p.add_argument("--bounces", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--intersector", default="auto",
+                   choices=["auto", "brute", "bvh", "pallas"])
+    p.add_argument("--transparent-background", action="store_true")
+    p.add_argument("--physical", action="store_true",
+                   help="physically-correct mode instead of reference quirks")
+    p.add_argument("--config", help="JSON RenderConfig (overrides other flags)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _config_from_args(args):
+    from ptx.config import Quirks, RenderConfig
+
+    if args.config:
+        with open(args.config) as f:
+            return RenderConfig.from_json(f.read())
+    return RenderConfig(
+        width=args.width,
+        height=args.height,
+        samples=args.samples,
+        bounces=args.bounces,
+        seed=args.seed,
+        intersector=args.intersector,
+        transparent_background=args.transparent_background,
+        quirks=Quirks.physical() if args.physical else Quirks(),
+    )
+
+
+def cmd_render(args) -> int:
+    from ptx import render as R
+    from ptx.io.png import write_png
+
+    cfg = _config_from_args(args)
+    t0 = time.time()
+    fs, static = R.load_scene(args.scene, quirks=cfg.quirks)
+    t_load = time.time() - t0
+    print(f"loaded {static.n_tris} triangles, {static.n_materials} materials "
+          f"in {t_load:.2f}s (sun={static.has_sun})", file=sys.stderr)
+
+    def progress(done, total):
+        print(f"\rsample {done}/{total}", end="", file=sys.stderr)
+
+    t0 = time.time()
+    res = R.render(fs, static, cfg, progress=progress)
+    dt = time.time() - t0
+    rays = cfg.width * cfg.height * cfg.samples
+    print(f"\nrendered {rays} primary rays in {dt:.2f}s "
+          f"({rays / dt:,.0f} paths/s)", file=sys.stderr)
+    write_png(args.out, res.image)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from ptx.bench import run_bench
+
+    result = run_bench(scene=args.scene, cfg=_config_from_args(args))
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_invert(args) -> int:
+    from ptx.diff.inverse import run_inverse_demo
+
+    cfg = _config_from_args(args)
+    run_inverse_demo(args.scene, cfg, steps=args.steps, lr=args.lr)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ptx")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("render", cmd_render), ("bench", cmd_bench),
+                     ("invert", cmd_invert)]:
+        p = sub.add_parser(name)
+        _add_render_args(p)
+        if name == "invert":
+            p.add_argument("--steps", type=int, default=100)
+            p.add_argument("--lr", type=float, default=0.05)
+        p.set_defaults(fn=fn)
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

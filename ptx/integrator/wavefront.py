@@ -1,0 +1,329 @@
+"""The wavefront path-tracing integrator.
+
+This is the TPU re-design of the reference's entire worker runtime: the four
+ray stages flowing through lock-free queues with dedicated thread groups
+(``worker.cpp:46-92``, ``intersection_worker.cpp``, ``shading_worker.cpp``,
+``accumulation_worker.cpp``) collapse into *one fused jitted loop over the
+ray wavefront as data*:
+
+    state [R lanes] --lax.while_loop over bounce iterations-->
+        intersect -> NEE shadow query -> shade/sample -> mask-or-terminate
+
+There are no queues: a "stage transition" is a masked lane update, the
+cross-worker min-distance reduce point (W5, ``intersection_worker.cpp:78-110``)
+is the pluggable ``closest`` callable (locally a tile reduce; in the
+scene-sharded mode a psum-min over ICI), and "accumulation" is a
+segment-mean performed by the caller (``ptx.integrator.accumulate``).
+
+Shading follows ``shading_worker.cpp:10-201`` term for term — every quirk
+(emissive x10, stochastic opacity passthrough that does *not* consume a
+bounce, backface cull, shadow-catcher first-bounce logic, roughness floor,
+fresnel-vs-metallic lobe selection, NEE with pdf = 1 sun sampling clamped to
+the light energy, throughput clamp, Russian roulette after 2 bounces) is
+reproduced and switchable via ``config.Quirks``.
+
+Sampled directions and all Monte-Carlo decisions are wrapped in
+``stop_gradient`` (detached sampling), so the radiance estimate remains
+differentiable w.r.t. material/light parameters — the capability the
+reference lacks (SURVEY.md §7 capability #8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ptx import geometry
+from ptx import math as pmath
+from ptx import sampling
+from ptx.config import RenderConfig
+from ptx.scene import camera as pcamera
+from ptx.scene import textures
+from ptx.scene.flatten import FlatScene, SceneStatic
+
+
+class RayState(NamedTuple):
+    """The wavefront packet — SoA analog of ``models::cloud_ray``
+    (``src/models/cloud_ray.hpp:25-58``)."""
+
+    orig: jnp.ndarray  # [R, 3]
+    dirn: jnp.ndarray  # [R, 3]
+    radiance: jnp.ndarray  # [R, 3] accumulated color
+    throughput: jnp.ndarray  # [R, 3] `scale`
+    alpha: jnp.ndarray  # [R]
+    alive: jnp.ndarray  # [R] bool
+    bounce: jnp.ndarray  # [R] i32, counts down from cfg.bounces
+    pixel_ids: jnp.ndarray  # [R] i32
+    sample_ids: jnp.ndarray  # [R] i32
+
+
+def compute_hit_attrs(fs: FlatScene, tri, beta, gamma):
+    """Barycentric attribute interpolation at hit points — the flat-array
+    version of ``distributed_scene::intersect``'s attribute block
+    (``src/scene/intersect.cpp:112-150``).  Normals/tangents were baked with
+    the normal matrix at flatten time; interpolate *then* normalize, matching
+    the reference order."""
+    alpha_w = 1.0 - beta - gamma
+    w0, w1, w2 = alpha_w[..., None], beta[..., None], gamma[..., None]
+    position = fs.tri_a[tri] + fs.tri_e1[tri] * beta[..., None] + fs.tri_e2[tri] * gamma[..., None]
+    normal = pmath.normalize(fs.n0[tri] * w0 + fs.n1[tri] * w1 + fs.n2[tri] * w2)
+    tangent = pmath.normalize(fs.t0[tri] * w0 + fs.t1[tri] * w1 + fs.t2[tri] * w2)
+    uv = fs.uv0[tri] * w0 + fs.uv1[tri] * w1 + fs.uv2[tri] * w2
+    mat_id = fs.mat_id[tri]
+    return position, normal, tangent, uv, mat_id
+
+
+def _env_radiance(fs: FlatScene, static: SceneStatic, cfg: RenderConfig, dirn):
+    """Environment contribution on miss (``shading_worker.cpp:28-37``)."""
+    env_factor = jnp.asarray(cfg.environment_factor, jnp.float32)
+    if static.env_tex >= 0:
+        uv = pmath.equirectangular_proj(dirn)
+        tex = jnp.full(dirn.shape[:-1], static.env_tex, jnp.int32)
+        return textures.sample_texture(fs, tex, uv)[..., :3] * env_factor
+    return jnp.broadcast_to(env_factor, dirn.shape)
+
+
+def _brdf_and_pdfs(normal, outcoming, incoming, albedo, metallic, roughness):
+    """Shared BRDF block used by both NEE and indirect sampling
+    (``shading_worker.cpp:118-139`` == ``:155-172``)."""
+    diffuse_pdf = sampling.pdf_diffuse(normal, incoming)
+    diffuse_brdf = diffuse_pdf[..., None] * albedo
+    specular_pdf = sampling.pdf_specular(normal, outcoming, incoming, roughness)
+    specular_brdf = jnp.broadcast_to(specular_pdf[..., None], albedo.shape)
+    fres = pmath.lerp(jnp.full_like(albedo, 0.04), albedo, metallic[..., None])
+    halfway = pmath.normalize(outcoming + incoming)
+    cos_theta = pmath.dot(outcoming, halfway)
+    fres = pmath.lerp(
+        fres, jnp.ones_like(fres), jnp.power(jnp.maximum(1.0 - cos_theta, 0.0), 5.0)[..., None]
+    )
+    diffuse_brdf = diffuse_brdf * (1.0 - metallic[..., None])
+    brdf = pmath.lerp(diffuse_brdf, specular_brdf, fres)
+    return brdf, diffuse_pdf, specular_pdf
+
+
+def make_integrator(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    closest: Callable,
+    any_hit: Callable,
+):
+    """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
+    (radiance [R,3], alpha [R])``.
+
+    ``closest`` / ``any_hit`` have the backend signature from
+    ``ptx.kernels.intersect`` — swap in brute / BVH / Pallas / scene-sharded
+    reduces without touching the shading math.
+    """
+    q = cfg.quirks
+    max_iters = cfg.bounces + cfg.opacity_extra_iters
+
+    def step(fs: FlatScene, it, state: RayState) -> RayState:
+        R = state.orig.shape[0]
+        pix, smp = state.pixel_ids, state.sample_ids
+        u = lambda purpose: sampling.uniform(pix, smp, it, purpose, cfg.seed)
+
+        t, tri, beta, gamma, hit = closest(fs, state.orig, state.dirn)
+        hit = hit & state.alive
+        position, n_interp, tangent, uv, mat_id = compute_hit_attrs(
+            fs, tri, beta, gamma
+        )
+
+        # --- miss: environment, terminate (shading_worker.cpp:27-41) -------
+        env = _env_radiance(fs, static, cfg, state.dirn)
+        miss = state.alive & ~hit
+        radiance = jnp.where(
+            miss[..., None], state.radiance + state.throughput * env, state.radiance
+        )
+        alpha = jnp.where(
+            miss, 0.0 if cfg.transparent_background else 1.0, state.alpha
+        )
+        alive = state.alive & hit
+        alpha = jnp.where(hit, 1.0, alpha)
+
+        # --- material fetch (shading_worker.cpp:44-50) ---------------------
+        mat = textures.material_lookup(fs, mat_id, uv)
+        emissive = mat["emissive"] * q.emissive_scale
+        radiance = jnp.where(
+            alive[..., None], radiance + state.throughput * emissive, radiance
+        )
+
+        # --- stochastic opacity passthrough (shading_worker.cpp:54-63) ----
+        # Does NOT consume a bounce; ray continues straight through.
+        translucent = jnp.abs(mat["opacity"] - 1.0) > pmath.EPS
+        passthrough = alive & translucent & (u(sampling.P_OPACITY) > mat["opacity"])
+
+        # --- shading normal via TBN + normal map (intersect.cpp:71-77) ----
+        binormal = pmath.cross(n_interp, tangent)
+        tn = mat["tangent_normal"]
+        n_shade = pmath.normalize(
+            tangent * tn[..., 0:1] + binormal * tn[..., 1:2] + n_interp * tn[..., 2:3]
+        )
+        outcoming = -state.dirn
+
+        # --- backface cull (shading_worker.cpp:68-72) ----------------------
+        backface = alive & ~passthrough & (pmath.dot(n_shade, outcoming) <= 0.0)
+
+        # --- NEE shadow ray (intersection_worker.cpp:22-40) ----------------
+        # Cone-sampled sun direction; "exists" uses the *interpolated* normal
+        # (pre normal-map), as the intersect stage does.
+        if static.has_sun:
+            cos_theta = jnp.cos(
+                u(sampling.P_SUN_THETA) * fs.sun_angular_radius
+            )
+            d_sun = sampling.cone_vec(
+                u(sampling.P_SUN_PHI),
+                cos_theta,
+                jnp.broadcast_to(fs.sun_dir, state.dirn.shape),
+            )
+            d_sun = jax.lax.stop_gradient(d_sun)
+            sun_exists = pmath.dot(n_interp, d_sun) > 0.0
+            shadow_org = position + d_sun * pmath.EPS
+            shadow_hit = any_hit(fs, shadow_org, d_sun)
+        else:
+            d_sun = jnp.zeros_like(state.dirn)
+            sun_exists = jnp.zeros((R,), bool)
+            shadow_hit = jnp.zeros((R,), bool)
+
+        # --- shadow catcher, first bounce (shading_worker.cpp:74-105) ------
+        is_catcher = mat["shadow_catcher"] > 0.5
+        first_bounce = state.bounce == cfg.bounces
+        catcher_now = alive & ~passthrough & ~backface & is_catcher & first_bounce
+        catcher_lit = (
+            catcher_now
+            & sun_exists
+            & (pmath.dot(n_shade, d_sun) > 0.0)
+            & ~shadow_hit
+            if static.has_sun
+            else jnp.zeros((R,), bool)
+        )
+        catcher_shadowed = catcher_now & ~catcher_lit
+        # Shadowed catcher: overwrite color with zero, alpha 1, terminate.
+        radiance = jnp.where(catcher_shadowed[..., None], 0.0, radiance)
+        alpha = jnp.where(catcher_shadowed, 1.0, alpha)
+        # Lit catcher: treat as fully transparent (same-bounce passthrough).
+        passthrough = passthrough | catcher_lit
+
+        # --- lobe selection (shading_worker.cpp:107-110) -------------------
+        roughness = jnp.maximum(mat["roughness"], q.roughness_floor)
+        mirror = pmath.reflect(-outcoming, n_shade)
+        spec_prob = sampling.fresnel(outcoming, mirror, mat["ior"])
+        spec_prob = jnp.maximum(spec_prob, mat["metallic"])
+        spec_prob = jax.lax.stop_gradient(spec_prob)
+        specular_sample = u(sampling.P_LOBE) < spec_prob
+
+        shading = alive & ~passthrough & ~backface & ~catcher_shadowed
+
+        # --- NEE contribution (shading_worker.cpp:112-147) -----------------
+        if static.has_sun:
+            nee_ok = (
+                shading & sun_exists & (pmath.dot(n_shade, d_sun) > 0.0) & ~shadow_hit
+            )
+            brdf, _, _ = _brdf_and_pdfs(
+                n_shade, outcoming, d_sun, mat["albedo"], mat["metallic"], roughness
+            )
+            # pdf = lerp(1, 1, spec_prob) = 1 (100% chance of hitting the sun).
+            direct_in = jnp.broadcast_to(fs.sun_energy, brdf.shape)
+            direct_out = brdf * direct_in
+            if q.clamp_direct_to_light:
+                direct_out = jnp.clip(direct_out, 0.0, direct_in)
+            radiance = jnp.where(
+                nee_ok[..., None], radiance + state.throughput * direct_out, radiance
+            )
+
+        # --- indirect bounce (shading_worker.cpp:149-199) ------------------
+        u1, u2 = u(sampling.P_BRDF_U), u(sampling.P_BRDF_V)
+        d_spec = sampling.importance_specular(u1, u2, n_shade, outcoming, roughness)
+        d_diff = sampling.importance_diffuse(u1, u2, n_shade)
+        d_new = jnp.where(specular_sample[..., None], d_spec, d_diff)
+        d_new = jax.lax.stop_gradient(d_new)
+
+        up_facing = pmath.dot(n_shade, d_new) > 0.0
+        brdf_i, diffuse_pdf, specular_pdf = _brdf_and_pdfs(
+            n_shade, outcoming, d_new, mat["albedo"], mat["metallic"], roughness
+        )
+        pdf = pmath.lerp(diffuse_pdf, specular_pdf, spec_prob)
+        new_throughput = state.throughput * brdf_i / jnp.maximum(pdf, pmath.EPS)[..., None]
+        new_throughput = jnp.clip(new_throughput, 0.0, q.throughput_clamp)
+
+        # Russian roulette after rr_after_bounces completed bounces
+        # (shading_worker.cpp:182-190): survive with p = max component,
+        # compensate by 1/p (reference divides by p even when p > 1).
+        rr_active = state.bounce < (cfg.bounces - q.rr_after_bounces)
+        p_survive = jnp.max(new_throughput, axis=-1)
+        rr_kill = rr_active & (u(sampling.P_RR) > p_survive)
+        new_throughput = jnp.where(
+            (rr_active & ~rr_kill)[..., None],
+            new_throughput / jnp.maximum(p_survive, pmath.EPS)[..., None],
+            new_throughput,
+        )
+
+        new_bounce = state.bounce - 1
+        continues = shading & up_facing & ~rr_kill & (new_bounce > 0)
+        terminated_here = shading & (~up_facing | rr_kill | (new_bounce <= 0))
+
+        # --- merge lane updates -------------------------------------------
+        cont_or_pass = passthrough | continues
+        next_orig = jnp.where(
+            passthrough[..., None],
+            position + state.dirn * pmath.EPS,
+            jnp.where(continues[..., None], position + d_new * pmath.EPS, state.orig),
+        )
+        next_dirn = jnp.where(continues[..., None], d_new, state.dirn)
+        next_throughput = jnp.where(
+            continues[..., None], new_throughput, state.throughput
+        )
+        next_bounce = jnp.where(continues, new_bounce, state.bounce)
+        next_alive = alive & cont_or_pass & ~backface & ~terminated_here
+
+        return RayState(
+            orig=next_orig,
+            dirn=next_dirn,
+            radiance=radiance,
+            throughput=next_throughput,
+            alpha=alpha,
+            alive=next_alive,
+            bounce=next_bounce,
+            pixel_ids=pix,
+            sample_ids=smp,
+        )
+
+    def integrate(fs: FlatScene, pixel_ids, sample_ids):
+        orig, dirn = pcamera.generate_rays(
+            fs,
+            pixel_ids,
+            sample_ids,
+            cfg.width,
+            cfg.height,
+            cfg.seed,
+            q.first_sample_centered,
+            cfg.transparent_background,
+        )
+        r = pixel_ids.shape[0]
+        state = RayState(
+            orig=orig,
+            dirn=dirn,
+            radiance=jnp.zeros((r, 3)),
+            throughput=jnp.ones((r, 3)),
+            alpha=jnp.zeros((r,)),
+            alive=jnp.ones((r,), bool),
+            bounce=jnp.full((r,), cfg.bounces, jnp.int32),
+            pixel_ids=pixel_ids.astype(jnp.int32),
+            sample_ids=sample_ids.astype(jnp.int32),
+        )
+
+        def cond(carry):
+            it, s = carry
+            return (it < max_iters) & jnp.any(s.alive)
+
+        def body(carry):
+            it, s = carry
+            return it + 1, step(fs, it, s)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state.radiance, state.alpha
+
+    return integrate
+
+    return integrate

@@ -1,0 +1,111 @@
+"""Pure-JAX intersection backends (the semantics oracle).
+
+The reference's hot loops are the KD-tree walk (``core/mesh.cpp:300-405``)
+and the per-leaf triangle tests (``geometry/triangle.cpp:120-190``).  Here the
+baseline backend is a *tiled brute-force* sweep: the ray wavefront [R] is
+tested against triangle tiles [T] as an [R, T] elementwise block — a shape
+XLA tiles perfectly onto the VPU with the running min carried in registers.
+For scenes up to ~10^5 triangles this is often *faster* on TPU than a
+divergent tree walk because every lane does useful vector work.
+
+The BVH backend (``ptx.accel``) and the Pallas kernels
+(``ptx.kernels.intersect_pallas``) plug in through the same signature:
+
+    closest(orig [R,3], dirn [R,3]) -> (t [R], tri [R] i32, beta [R], gamma [R], hit [R] bool)
+    any_hit(orig [R,3], dirn [R,3]) -> hit [R] bool
+
+Misses are encoded as ``t = geometry.INF`` — the same sentinel the
+cross-chip min-reduce uses in the scene-sharded mode (the reference's
+``float::max`` miss marker, ``intersection_worker.cpp:98``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ptx import geometry
+from ptx.scene.flatten import FlatScene
+
+
+def _tile_bounds(n: int, tile: int) -> int:
+    return -(-n // tile)
+
+
+def brute_closest(fs: FlatScene, orig, dirn, tile: int = 512):
+    """Closest hit of every ray against every (local) triangle.
+
+    ``fs`` may hold a *shard* of the scene — padding/degenerate slots never
+    hit (zero-area triangles fail the determinant test).
+    """
+    n = fs.tri_a.shape[0]
+    tile = min(tile, n)
+    n_tiles = _tile_bounds(n, tile)
+    r = orig.shape[0]
+
+    def body(i, carry):
+        best_t, best_tri, best_b, best_g = carry
+        start = i * tile
+        a = jax.lax.dynamic_slice_in_dim(fs.tri_a, start, tile)
+        e1 = jax.lax.dynamic_slice_in_dim(fs.tri_e1, start, tile)
+        e2 = jax.lax.dynamic_slice_in_dim(fs.tri_e2, start, tile)
+        t, beta, gamma, ok = geometry.moller_trumbore(
+            orig[:, None, :], dirn[:, None, :], a[None], e1[None], e2[None]
+        )  # [R, T]
+        arg = jnp.argmin(t, axis=1)
+        tmin = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+        closer = tmin < best_t
+        rowsel = lambda m: jnp.take_along_axis(m, arg[:, None], axis=1)[:, 0]
+        best_tri = jnp.where(closer, start + arg.astype(jnp.int32), best_tri)
+        best_b = jnp.where(closer, rowsel(beta), best_b)
+        best_g = jnp.where(closer, rowsel(gamma), best_g)
+        best_t = jnp.minimum(best_t, tmin)
+        return best_t, best_tri, best_b, best_g
+
+    init = (
+        jnp.full((r,), geometry.INF),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r,)),
+        jnp.zeros((r,)),
+    )
+    best_t, best_tri, best_b, best_g = jax.lax.fori_loop(0, n_tiles, body, init)
+    hit = best_t < geometry.INF
+    return best_t, best_tri, best_b, best_g, hit
+
+
+def brute_any(fs: FlatScene, orig, dirn, tile: int = 512):
+    """Boolean occlusion query (shadow rays).  The reference runs a *full*
+    closest-hit for this (``intersection_worker.cpp:58-62``); an any-hit
+    reduce is strictly cheaper and gives the identical boolean."""
+    n = fs.tri_a.shape[0]
+    tile = min(tile, n)
+    n_tiles = _tile_bounds(n, tile)
+    r = orig.shape[0]
+
+    def body(i, hit_any):
+        start = i * tile
+        a = jax.lax.dynamic_slice_in_dim(fs.tri_a, start, tile)
+        e1 = jax.lax.dynamic_slice_in_dim(fs.tri_e1, start, tile)
+        e2 = jax.lax.dynamic_slice_in_dim(fs.tri_e2, start, tile)
+        _, _, _, ok = geometry.moller_trumbore(
+            orig[:, None, :], dirn[:, None, :], a[None], e1[None], e2[None]
+        )
+        return hit_any | jnp.any(ok, axis=1)
+
+    return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros((r,), bool))
+
+
+def make_brute(fs_like: FlatScene, tile: int = 512):
+    """Bind the brute backend to a scene, returning (closest, any_hit)
+    callables with the standard signature (scene passed per-call so grads and
+    shardings flow through it)."""
+
+    def closest(fs, orig, dirn):
+        return brute_closest(fs, orig, dirn, tile)
+
+    def any_hit(fs, orig, dirn):
+        return brute_any(fs, orig, dirn, tile)
+
+    return closest, any_hit

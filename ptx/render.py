@@ -1,0 +1,173 @@
+"""High-level single-chip rendering API.
+
+The TPU equivalent of ``processors::worker::run()`` (``worker.cpp:25-105``):
+load scene -> generate the wavefront -> integrate -> accumulate -> finalize.
+Sample batches replace the reference's free-running queues: each batch is one
+launch of the fused integrator with static shapes, and the per-pixel running
+mean is carried between launches exactly like the accumulation stage's
+``(c*n + x)/(n+1)`` (``accumulation_worker.cpp:25-52``) — which also makes
+any prefix of batches a valid partial image (the reference's periodic-flush
+behaviour, ``renderer.cpp:409-424``, and the natural checkpoint unit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptx.config import RenderConfig
+from ptx.integrator import accumulate
+from ptx.integrator.wavefront import make_integrator
+from ptx.kernels import intersect as intersect_mod
+from ptx.scene import gltf
+from ptx.scene.flatten import FlatScene, SceneStatic, apply_emissive_strength, flatten
+
+
+def load_scene(
+    path: str,
+    scene_work: Optional[Dict[str, List[int]]] = None,
+    env_image: Optional[np.ndarray] = None,
+    quirks=None,
+    pad_multiple: int = 256,
+) -> Tuple[FlatScene, SceneStatic]:
+    """Load + flatten a glTF scene to device-ready arrays."""
+    import os
+
+    scene = gltf.load(path, scene_work=scene_work)
+    fs, static = flatten(
+        scene,
+        pad_multiple=pad_multiple,
+        base_dir=os.path.dirname(os.path.abspath(path)),
+        env_image=env_image,
+    )
+    if quirks is not None and quirks.use_emissive_strength:
+        fs = apply_emissive_strength(fs, scene)
+    fs = jax.tree.map(jnp.asarray, fs)
+    return fs, static
+
+
+def get_backend(static: SceneStatic, cfg: RenderConfig):
+    """Resolve the intersection backend pair (closest, any_hit)."""
+    name = cfg.intersector
+    if name == "auto":
+        if static.n_tris_padded <= 65536:
+            name = "brute"
+        else:
+            name = "bvh"
+    if name == "brute":
+        def closest(fs, orig, dirn):
+            return intersect_mod.brute_closest(fs, orig, dirn)
+
+        def any_hit(fs, orig, dirn):
+            return intersect_mod.brute_any(fs, orig, dirn)
+
+        return closest, any_hit
+    if name == "bvh":
+        from ptx.accel import traverse as bvh_traverse
+
+        return bvh_traverse.make_backend()
+    if name == "pallas":
+        from ptx.kernels import intersect_pallas
+
+        return intersect_pallas.make_backend(static)
+    raise ValueError(f"unknown intersector {name!r}")
+
+
+def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
+    """Jitted ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` rendering one
+    full-image sample pass."""
+    closest, any_hit = get_backend(static, cfg)
+    integrator = make_integrator(static, cfg, closest, any_hit)
+    n_pixels = cfg.width * cfg.height
+
+    @jax.jit
+    def sample_pass(fs: FlatScene, sample_id):
+        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+        sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
+        return integrator(fs, pixel_ids, sample_ids)
+
+    return sample_pass
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_mean(carry, sample_color, sample_alpha, n):
+    color, alpha = carry
+    inv = 1.0 / (n + 1.0)
+    return (
+        (color * n + sample_color) * inv,
+        (alpha * n + sample_alpha) * inv,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_claim(carry, sample_color, sample_alpha, n):
+    """One claim-blend step (transparent background), see
+    ``accumulate.accumulate_claim``."""
+    color, alpha, claimed = carry
+    opaque = sample_alpha > 0.5
+    claim_now = opaque & ~claimed
+    blend = opaque & claimed
+    trans_on_claimed = ~opaque & claimed
+    inv = 1.0 / (n + 1.0)
+    new_color = jnp.where(
+        claim_now[:, None],
+        sample_color,
+        jnp.where(blend[:, None], (color * n + sample_color) * inv, color),
+    )
+    new_alpha = jnp.where(
+        claim_now,
+        inv,
+        jnp.where(blend | trans_on_claimed, (alpha * n + sample_alpha) * inv, alpha),
+    )
+    return new_color, new_alpha, claimed | claim_now
+
+
+@dataclasses.dataclass
+class RenderResult:
+    color: np.ndarray  # [H, W, 3] linear HDR mean
+    alpha: np.ndarray  # [H, W]
+    image: np.ndarray  # [H, W, 4] uint8 (ACES + sRGB)
+
+
+def render(
+    fs: FlatScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    progress: Optional[callable] = None,
+) -> RenderResult:
+    """Render ``cfg.samples`` progressive sample passes."""
+    sample_fn = make_sample_fn(static, cfg)
+    p = cfg.width * cfg.height
+    if cfg.transparent_background:
+        carry = (jnp.zeros((p, 3)), jnp.zeros((p,)), jnp.zeros((p,), bool))
+    else:
+        carry = (jnp.zeros((p, 3)), jnp.zeros((p,)))
+
+    for s in range(cfg.samples):
+        radiance, alpha = sample_fn(fs, jnp.int32(s))
+        n = jnp.float32(s)
+        if cfg.transparent_background:
+            carry = _update_claim(carry, radiance, alpha, n)
+        else:
+            carry = _update_mean(carry, radiance, alpha, n)
+        if progress is not None:
+            progress(s + 1, cfg.samples)
+
+    color, alpha = carry[0], carry[1]
+    image = accumulate.finalize(color, alpha)
+    h, w = cfg.height, cfg.width
+    return RenderResult(
+        color=np.asarray(color).reshape(h, w, 3),
+        alpha=np.asarray(alpha).reshape(h, w),
+        image=np.asarray(image).reshape(h, w, 4),
+    )
+
+
+def render_gltf(path: str, cfg: RenderConfig, **load_kwargs) -> RenderResult:
+    fs, static = load_scene(path, quirks=cfg.quirks, **load_kwargs)
+    return render(fs, static, cfg)

@@ -1,0 +1,417 @@
+"""Minimal pure-Python glTF 2.0 loader.
+
+TPU-native counterpart of the reference's cgltf-based partial scene loader
+(``src/scene/load_gltf.cpp:9-319``).  Parses the JSON + .bin buffers with
+numpy (no native parser needed — loading is a host-side, once-per-scene cost),
+resolves the node hierarchy to *world transforms* immediately (static scenes
+make the entity tree a load-time concern, not a runtime one), and returns
+plain numpy structures that ``ptx.scene.flatten`` bakes into device arrays.
+
+Feature parity with the reference loader:
+
+* meshes with POSITION / NORMAL / TEXCOORD_0 / TANGENT attributes and
+  indexed triangles (``load_gltf.cpp:164-254``),
+* *partial loading*: a ``scene_work`` map ``{mesh_name: [primitive_ids]}``
+  restricts which primitives are realized (``load_gltf.cpp:95-105``) — the
+  hook the scene partitioner (``ptx.parallel.partition``) drives,
+* PBR metallic-roughness materials with the reference's five texture slots
+  and sRGB conventions (``load_gltf.cpp:256-318``), shadow-catcher-by-name
+  ("shadow"+"catcher" in the material name, ``load_gltf.cpp:312-314``),
+* perspective camera found by camera index 0 (``load_gltf.cpp:30-33``),
+* optional directional sun light: first directional light, energy =
+  color * intensity (``load_gltf.cpp:35-46,120-126``).
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+@dataclasses.dataclass
+class TextureRef:
+    image_index: int
+    srgb: bool
+
+
+@dataclasses.dataclass
+class MaterialData:
+    """Factor set + texture slot indices, mirroring ``core::material``
+    (``core/material.hpp:8-27``)."""
+
+    name: str = ""
+    albedo: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    opacity: float = 1.0
+    roughness: float = 1.0
+    metallic: float = 1.0
+    emissive: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    emissive_strength: float = 1.0  # KHR_materials_emissive_strength
+    ior: float = 1.33  # reference default, material.hpp:13
+    shadow_catcher: bool = False
+    # Texture indices into SceneData.images (-1 = none).
+    normal_tex: int = -1
+    albedo_tex: int = -1
+    opacity_tex: int = -1
+    occlusion_tex: int = -1
+    roughness_tex: int = -1
+    metallic_tex: int = -1
+    emissive_tex: int = -1
+
+
+@dataclasses.dataclass
+class PrimitiveData:
+    """One glTF primitive with its owning node's world transform."""
+
+    mesh_name: str
+    prim_index: int
+    positions: np.ndarray  # [V, 3] f32, local space
+    normals: np.ndarray  # [V, 3] f32
+    uvs: np.ndarray  # [V, 2] f32
+    tangents: np.ndarray  # [V, 4] f32 (xyz dir, w handedness)
+    indices: np.ndarray  # [T, 3] u32
+    material: int  # index into SceneData.materials
+    world_basis: np.ndarray  # [3, 3] f32
+    world_origin: np.ndarray  # [3] f32
+
+
+@dataclasses.dataclass
+class CameraData:
+    yfov: float
+    world_basis: np.ndarray
+    world_origin: np.ndarray
+
+
+@dataclasses.dataclass
+class SunData:
+    """Directional sun. ``direction`` points *toward* the sun (the light
+    node's world +Z — reference ``basis * fvec3::backward`` with
+    ``backward = (0,0,1)``, ``math/vec3.inl:26``)."""
+
+    direction: np.ndarray  # [3] f32, unit
+    energy: np.ndarray  # [3] f32
+    angular_radius: float = 0.004732  # sun_light.hpp:11
+
+
+@dataclasses.dataclass
+class ImageData:
+    uri: str
+    srgb: bool
+    pixels: Optional[np.ndarray] = None  # [H, W, 4] f32 linear, lazy-decoded
+
+
+@dataclasses.dataclass
+class SceneData:
+    primitives: List[PrimitiveData]
+    materials: List[MaterialData]
+    images: List[ImageData]
+    camera: CameraData
+    sun: Optional[SunData]
+    mesh_primitive_counts: Dict[str, int]
+
+
+def _quat_to_basis(q) -> np.ndarray:
+    """glTF [x, y, z, w] quaternion -> 3x3 rotation (columns = basis vectors)."""
+    x, y, z, w = (float(v) for v in q)
+    n = (x * x + y * y + z * z + w * w) ** 0.5 or 1.0
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+
+
+def _local_transform(node: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """Node TRS/matrix -> (basis, origin), reference ``transform::make``
+    (``scene/transform.cpp:14-30``): basis = R with columns scaled by S."""
+    if "matrix" in node:
+        m = np.asarray(node["matrix"], np.float32).reshape(4, 4).T  # column-major
+        return m[:3, :3].astype(np.float32), m[:3, 3].astype(np.float32)
+    basis = _quat_to_basis(node.get("rotation", (0.0, 0.0, 0.0, 1.0)))
+    scale = np.asarray(node.get("scale", (1.0, 1.0, 1.0)), np.float32)
+    basis = basis * scale[None, :]  # scale each basis column
+    origin = np.asarray(node.get("translation", (0.0, 0.0, 0.0)), np.float32)
+    return basis, origin
+
+
+def _read_accessor(gltf: dict, buffers: List[bytes], index: int) -> np.ndarray:
+    acc = gltf["accessors"][index]
+    if "sparse" in acc:
+        raise NotImplementedError("sparse accessors not supported")
+    count = acc["count"]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    itemsize = np.dtype(dtype).itemsize
+    if "bufferView" not in acc:
+        return np.zeros((count, ncomp), dtype)
+    view = gltf["bufferViews"][acc["bufferView"]]
+    buf = buffers[view["buffer"]]
+    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride", ncomp * itemsize)
+    if stride == ncomp * itemsize:
+        arr = np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
+    else:  # interleaved
+        raw = np.frombuffer(buf, np.uint8, stride * count, start).reshape(count, stride)
+        arr = raw[:, : ncomp * itemsize].copy().view(dtype)
+    if acc.get("normalized") and dtype != np.float32:
+        arr = arr.astype(np.float32) / np.iinfo(dtype).max
+    return np.ascontiguousarray(arr)
+
+
+def _load_buffers(gltf: dict, base_dir: str) -> List[bytes]:
+    out = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            raise NotImplementedError("GLB binary chunk not supported yet")
+        if uri.startswith("data:"):
+            out.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                out.append(f.read())
+    return out
+
+
+def decode_image(img: ImageData, base_dir: str) -> np.ndarray:
+    """Decode to linear-light RGBA float32 (sRGB gamma-2.2 decode on color
+    channels, matching ``image::read`` — ``image/image.cpp:124-141``)."""
+    if img.pixels is not None:
+        return img.pixels
+    from PIL import Image
+
+    with Image.open(os.path.join(base_dir, img.uri)) as im:
+        im = im.convert("RGBA")
+        raw = np.asarray(im, np.float32) / 255.0
+    if img.srgb:
+        raw[..., :3] = np.power(raw[..., :3], 2.2)
+    img.pixels = raw
+    return raw
+
+
+def load(
+    path: str,
+    scene_work: Optional[Dict[str, List[int]]] = None,
+    decode_textures: bool = True,
+) -> SceneData:
+    """Load a glTF file.  ``scene_work`` restricts loading to the given
+    ``{mesh_name: [primitive indices]}`` shard (partial loading, the
+    distributed-scene hook — reference ``load_gltf.cpp:95-105``)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "r") as f:
+        gltf = json.load(f)
+    buffers = _load_buffers(gltf, base_dir)
+
+    # --- materials & images -------------------------------------------------
+    image_srgb = {}  # image index -> srgb flag (first use wins)
+    materials: List[MaterialData] = []
+
+    def tex_image(tex_info, srgb: bool) -> int:
+        if not tex_info:
+            return -1
+        tex = gltf["textures"][tex_info["index"]]
+        src = tex.get("source", -1)
+        if src >= 0:
+            image_srgb.setdefault(src, srgb)
+        return src
+
+    for mat in gltf.get("materials", []):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+        name = mat.get("name", "")
+        ext = mat.get("extensions", {})
+        strength = ext.get("KHR_materials_emissive_strength", {}).get(
+            "emissiveStrength", 1.0
+        )
+        albedo_tex = tex_image(pbr.get("baseColorTexture"), True)
+        md = MaterialData(
+            name=name,
+            albedo=tuple(base[:3]),
+            opacity=float(base[3]),
+            roughness=float(pbr.get("roughnessFactor", 1.0)),
+            metallic=float(pbr.get("metallicFactor", 1.0)),
+            # glTF default emissiveFactor is 0 (the C++ member default of 1 in
+            # material.hpp:12 is always overwritten by the cgltf parse).
+            emissive=tuple(mat.get("emissiveFactor", [0.0, 0.0, 0.0])),
+            emissive_strength=float(strength),
+            shadow_catcher=("shadow" in name and "catcher" in name),
+            normal_tex=tex_image(mat.get("normalTexture"), False),
+            albedo_tex=albedo_tex,
+            # Alpha rides the base-color texture when not opaque
+            # (load_gltf.cpp:296-297).
+            opacity_tex=(
+                albedo_tex if mat.get("alphaMode", "OPAQUE") != "OPAQUE" else -1
+            ),
+            occlusion_tex=tex_image(mat.get("occlusionTexture"), False),
+            roughness_tex=tex_image(pbr.get("metallicRoughnessTexture"), False),
+            metallic_tex=tex_image(pbr.get("metallicRoughnessTexture"), False),
+            emissive_tex=tex_image(mat.get("emissiveTexture"), True),
+        )
+        materials.append(md)
+    if not materials:
+        materials.append(MaterialData(name="default"))
+
+    # --- lights (KHR_lights_punctual) --------------------------------------
+    lights = gltf.get("extensions", {}).get("KHR_lights_punctual", {}).get(
+        "lights", []
+    )
+    sun_light_index = next(
+        (i for i, l in enumerate(lights) if l.get("type") == "directional"), None
+    )
+
+    # --- walk the scene graph ----------------------------------------------
+    scene = gltf["scenes"][gltf.get("scene", 0)]
+    nodes = gltf.get("nodes", [])
+    primitives: List[PrimitiveData] = []
+    camera: Optional[CameraData] = None
+    sun: Optional[SunData] = None
+    mesh_primitive_counts: Dict[str, int] = {}
+
+    def walk(node_idx: int, parent_basis: np.ndarray, parent_origin: np.ndarray):
+        nonlocal camera, sun
+        node = nodes[node_idx]
+        basis, origin = _local_transform(node)
+        world_basis = parent_basis @ basis
+        world_origin = parent_origin + parent_basis @ origin
+
+        if "mesh" in node:
+            mesh = gltf["meshes"][node["mesh"]]
+            mesh_name = mesh.get("name", f"mesh{node['mesh']}")
+            prims = mesh.get("primitives", [])
+            mesh_primitive_counts[mesh_name] = len(prims)
+            allowed = None if scene_work is None else scene_work.get(mesh_name, [])
+            for pi, prim in enumerate(prims):
+                if allowed is not None and pi not in allowed:
+                    continue
+                attrs = prim["attributes"]
+                pos = _read_accessor(gltf, buffers, attrs["POSITION"]).astype(
+                    np.float32
+                )
+                v = pos.shape[0]
+                nrm = (
+                    _read_accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
+                    if "NORMAL" in attrs
+                    else np.tile(np.array([[0, 0, 1]], np.float32), (v, 1))
+                )
+                uv = (
+                    _read_accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(
+                        np.float32
+                    )
+                    if "TEXCOORD_0" in attrs
+                    else np.zeros((v, 2), np.float32)
+                )
+                if "TANGENT" in attrs:
+                    tan = _read_accessor(gltf, buffers, attrs["TANGENT"]).astype(
+                        np.float32
+                    )
+                    if tan.shape[1] == 3:
+                        tan = np.concatenate(
+                            [tan, np.ones((v, 1), np.float32)], axis=1
+                        )
+                else:
+                    tan = np.tile(np.array([[1, 0, 0, 1]], np.float32), (v, 1))
+                if "indices" in prim:
+                    idx = (
+                        _read_accessor(gltf, buffers, prim["indices"])
+                        .reshape(-1)
+                        .astype(np.uint32)
+                    )
+                else:
+                    idx = np.arange(v, dtype=np.uint32)
+                primitives.append(
+                    PrimitiveData(
+                        mesh_name=mesh_name,
+                        prim_index=pi,
+                        positions=pos,
+                        normals=nrm,
+                        uvs=uv,
+                        tangents=tan,
+                        indices=idx.reshape(-1, 3),
+                        material=prim.get("material", 0),
+                        world_basis=world_basis.astype(np.float32),
+                        world_origin=world_origin.astype(np.float32),
+                    )
+                )
+
+        if "camera" in node and node["camera"] == 0 and camera is None:
+            cam = gltf["cameras"][0]
+            if cam.get("type") == "perspective":
+                camera = CameraData(
+                    yfov=float(cam["perspective"]["yfov"]),
+                    world_basis=world_basis.astype(np.float32),
+                    world_origin=world_origin.astype(np.float32),
+                )
+
+        node_light = (
+            node.get("extensions", {}).get("KHR_lights_punctual", {}).get("light")
+        )
+        if (
+            sun is None
+            and sun_light_index is not None
+            and node_light == sun_light_index
+        ):
+            light = lights[sun_light_index]
+            color = np.asarray(light.get("color", [1.0, 1.0, 1.0]), np.float32)
+            intensity = float(light.get("intensity", 1.0))
+            direction = world_basis @ np.array([0.0, 0.0, 1.0], np.float32)
+            direction = direction / (np.linalg.norm(direction) or 1.0)
+            sun = SunData(direction=direction, energy=color * intensity)
+
+        for child in node.get("children", []):
+            walk(child, world_basis, world_origin)
+
+    identity = np.eye(3, dtype=np.float32)
+    zero = np.zeros(3, np.float32)
+    for root in scene.get("nodes", []):
+        walk(root, identity, zero)
+
+    if camera is None:
+        raise ValueError("Scene is missing a camera.")  # load_gltf.cpp:53
+
+    images = [
+        ImageData(uri=img.get("uri", ""), srgb=image_srgb.get(i, False))
+        for i, img in enumerate(gltf.get("images", []))
+    ]
+    if decode_textures:
+        used = {
+            t
+            for m in materials
+            for t in (
+                m.normal_tex,
+                m.albedo_tex,
+                m.opacity_tex,
+                m.occlusion_tex,
+                m.roughness_tex,
+                m.metallic_tex,
+                m.emissive_tex,
+            )
+            if t >= 0
+        }
+        for i in sorted(used):
+            decode_image(images[i], base_dir)
+
+    return SceneData(
+        primitives=primitives,
+        materials=materials,
+        images=images,
+        camera=camera,
+        sun=sun,
+        mesh_primitive_counts=mesh_primitive_counts,
+    )
