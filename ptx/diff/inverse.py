@@ -1,0 +1,222 @@
+"""Differentiable rendering and inverse-rendering optimization.
+
+The north-star capability the reference lacks (SURVEY.md §7 capability #8):
+``d pixel / d {albedo, emissive, roughness, metallic, sun energy}`` via
+*detached sampling* — the integrator stop-gradients every Monte-Carlo
+decision (sampled directions, lobe choice, Russian roulette, opacity
+passthrough) while keeping the BRDF/pdf/throughput/emissive algebra
+differentiable, giving an unbiased-in-practice estimator for
+material/light gradients (the classic differentiable path-tracing recipe).
+
+Because the RNG is counter-based and keyed by absolute (pixel, sample) ids,
+the loss is a *deterministic* function of the parameters for a fixed sample
+set — finite differences validate the autodiff gradients exactly (see
+``tests/test_diff.py``), and gradients all-reduce across the device mesh for
+free through the shard_map collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptx.config import RenderConfig
+from ptx.integrator.wavefront import make_integrator
+from ptx.scene.flatten import FlatScene, SceneStatic
+
+# FlatScene leaves that are meaningful optimization targets.
+DIFFERENTIABLE_FIELDS = (
+    "mat_albedo",
+    "mat_emissive",
+    "mat_roughness",
+    "mat_metallic",
+    "mat_opacity",
+    "sun_energy",
+    "tex_texels",
+)
+
+
+def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
+    """Overlay an optimization-parameter dict onto a FlatScene."""
+    return fs._replace(**params)
+
+
+def extract_params(fs: FlatScene, fields: Sequence[str]) -> Dict[str, jnp.ndarray]:
+    return {f: getattr(fs, f) for f in fields}
+
+
+def make_loss_fn(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    target: jnp.ndarray,
+    param_fields: Sequence[str] = ("mat_albedo", "mat_emissive"),
+    closest=None,
+    any_hit=None,
+):
+    """Build ``loss(params, fs, sample_id) -> scalar`` — MSE between one
+    rendered sample pass and the target HDR image [P, 3]."""
+    from ptx.render import get_backend
+
+    if closest is None or any_hit is None:
+        closest, any_hit = get_backend(static, cfg)
+    integrator = make_integrator(static, cfg, closest, any_hit, differentiable=True)
+    n_pixels = cfg.width * cfg.height
+
+    def loss(params, fs: FlatScene, sample_id):
+        """MSE of one sample pass against the target.
+
+        NOTE: if ``target`` is an n-sample average, optimizing single-sample
+        MSE is biased dark (the Monte-Carlo variance enters the objective);
+        use :func:`make_batch_loss_fn` with the same sample set for exact
+        recovery.
+        """
+        fs = inject_params(fs, params)
+        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+        sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
+        radiance, _ = integrator(fs, pixel_ids, sample_ids)
+        return jnp.mean((radiance - target) ** 2)
+
+    return loss
+
+
+def make_batch_loss_fn(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    target: jnp.ndarray,
+    n_samples: int,
+    closest=None,
+    any_hit=None,
+):
+    """``loss(params, fs) -> scalar`` comparing the *mean over n_samples
+    passes* against the target.  When the target was produced by the same
+    sample ids, the loss is a deterministic function with its exact optimum
+    at the true parameters (no Monte-Carlo variance term biasing the fit
+    dark), at n_samples x the per-step cost."""
+    from ptx.render import get_backend
+
+    if closest is None or any_hit is None:
+        closest, any_hit = get_backend(static, cfg)
+    integrator = make_integrator(static, cfg, closest, any_hit, differentiable=True)
+    n_pixels = cfg.width * cfg.height
+
+    def loss(params, fs: FlatScene):
+        fs = inject_params(fs, params)
+        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+
+        def one(s):
+            sample_ids = jnp.full((n_pixels,), s, jnp.int32)
+            return integrator(fs, pixel_ids, sample_ids)[0]
+
+        def body(acc, s):
+            return acc + one(s), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((n_pixels, 3)), jnp.arange(n_samples, dtype=jnp.int32)
+        )
+        radiance = total / n_samples
+        return jnp.mean((radiance - target) ** 2)
+
+    return loss
+
+
+def render_grad(
+    fs: FlatScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    target: jnp.ndarray,
+    param_fields: Sequence[str] = ("mat_albedo", "mat_emissive"),
+    sample_id: int = 0,
+):
+    """One-shot (loss, grads) for the given parameter fields."""
+    loss_fn = make_loss_fn(static, cfg, target, param_fields)
+    params = extract_params(fs, param_fields)
+    val, grads = jax.value_and_grad(loss_fn)(params, fs, jnp.int32(sample_id))
+    return val, grads
+
+
+def optimize(
+    fs: FlatScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    target: jnp.ndarray,
+    init_params: Dict[str, jnp.ndarray],
+    steps: int = 100,
+    lr: float = 0.05,
+    param_clip: Optional[Dict[str, tuple]] = None,
+    progress=None,
+):
+    """Adam loop recovering scene parameters from a target image — the
+    inverse-rendering benchmark (BASELINE.md config #4).
+
+    Each step renders one stochastic sample pass (fresh ``sample_id`` =
+    minibatch of rays through the RNG counter), backprops through the
+    wavefront, and applies optax updates with optional box constraints.
+    """
+    import optax
+
+    loss_fn = make_batch_loss_fn(static, cfg, target, max(cfg.samples, 1))
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        val, grads = jax.value_and_grad(loss_fn)(params, fs)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if param_clip:
+            params = {
+                k: jnp.clip(v, *param_clip[k]) if k in param_clip else v
+                for k, v in params.items()
+            }
+        return params, opt_state, val
+
+    params = init_params
+    opt_state = opt.init(params)
+    history = []
+    for step in range(steps):
+        params, opt_state, val = train_step(params, opt_state)
+        history.append(float(val))
+        if progress is not None:
+            progress(step, float(val))
+    return params, history
+
+
+def run_inverse_demo(scene_path: str, cfg: RenderConfig, steps=100, lr=0.05):
+    """CLI demo: perturb cornell's albedo + emissive, recover them."""
+    from ptx import render as R
+
+    fs, static = R.load_scene(scene_path, quirks=cfg.quirks)
+    n_pixels = cfg.width * cfg.height
+
+    # Ground-truth target from the unperturbed scene (average a few passes).
+    sample_fn = R.make_sample_fn(static, cfg)
+    target = jnp.zeros((n_pixels, 3))
+    for s in range(cfg.samples):
+        radiance, _ = sample_fn(fs, jnp.int32(s))
+        target = target + radiance
+    target = target / max(cfg.samples, 1)
+
+    true_albedo = fs.mat_albedo
+    true_emissive = fs.mat_emissive
+    init = {
+        "mat_albedo": jnp.full_like(fs.mat_albedo, 0.5),
+        "mat_emissive": jnp.zeros_like(fs.mat_emissive),
+    }
+    clip = {"mat_albedo": (0.0, 1.0), "mat_emissive": (0.0, 100.0)}
+
+    def progress(step, val):
+        if step % 10 == 0:
+            print(f"step {step:4d} loss {val:.6f}")
+
+    params, history = optimize(
+        fs, static, cfg, target, init, steps=steps, lr=lr,
+        param_clip=clip, progress=progress,
+    )
+    err_a = float(jnp.abs(params["mat_albedo"] - true_albedo).mean())
+    err_e = float(jnp.abs(params["mat_emissive"] - true_emissive).mean())
+    print(f"final loss {history[-1]:.6f}  albedo MAE {err_a:.4f}  "
+          f"emissive MAE {err_e:.4f}")
+    return params, history

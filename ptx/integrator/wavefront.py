@@ -108,13 +108,17 @@ def make_integrator(
     cfg: RenderConfig,
     closest: Callable,
     any_hit: Callable,
+    differentiable: bool = False,
 ):
     """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
     (radiance [R,3], alpha [R])``.
 
-    ``closest`` / ``any_hit`` have the backend signature from
-    ``ptx.kernels.intersect`` — swap in brute / BVH / Pallas / scene-sharded
-    reduces without touching the shading math.
+    ``closest(fs, orig, dirn) -> (hit, position, n_interp, tangent, uv,
+    mat_id)`` returns *hit attributes* (not triangle indices) so backends are
+    free to resolve the winning hit however they like — a local tile/BVH/
+    Pallas sweep, or the scene-sharded psum-min payload reduce over ICI (the
+    reference's cross-worker min-distance exchange, W5).  ``any_hit`` returns
+    the occlusion boolean.  Swap backends without touching the shading math.
     """
     q = cfg.quirks
     max_iters = cfg.bounces + cfg.opacity_extra_iters
@@ -124,10 +128,10 @@ def make_integrator(
         pix, smp = state.pixel_ids, state.sample_ids
         u = lambda purpose: sampling.uniform(pix, smp, it, purpose, cfg.seed)
 
-        t, tri, beta, gamma, hit = closest(fs, state.orig, state.dirn)
-        hit = hit & state.alive
-        position, n_interp, tangent, uv, mat_id = compute_hit_attrs(
-            fs, tri, beta, gamma
+        h = closest(fs, state.orig, state.dirn)
+        hit = h.hit & state.alive
+        position, n_interp, tangent, uv, mat_id = (
+            h.position, h.normal, h.tangent, h.uv, h.mat_id
         )
 
         # --- miss: environment, terminate (shading_worker.cpp:27-41) -------
@@ -313,15 +317,31 @@ def make_integrator(
             sample_ids=sample_ids.astype(jnp.int32),
         )
 
-        def cond(carry):
-            it, s = carry
-            return (it < max_iters) & jnp.any(s.alive)
+        if differentiable:
+            # Reverse-mode AD needs a static trip count: a scan over
+            # max_iters with per-step rematerialization (jax.checkpoint), so
+            # backward memory stays O(state) instead of O(state * iters).
+            def body(s, it):
+                return jax.checkpoint(
+                    lambda ss: step(fs, it, ss), prevent_cse=False
+                )(s), None
 
-        def body(carry):
-            it, s = carry
-            return it + 1, step(fs, it, s)
+            state, _ = jax.lax.scan(
+                body, state, jnp.arange(max_iters, dtype=jnp.int32)
+            )
+        else:
+            # Forward-only: while_loop exits as soon as every lane is dead
+            # (the terminator thread's `completed == X*Y*samples` spin,
+            # worker.cpp:70-78, as a loop condition).
+            def cond(carry):
+                it, s = carry
+                return (it < max_iters) & jnp.any(s.alive)
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+            def wbody(carry):
+                it, s = carry
+                return it + 1, step(fs, it, s)
+
+            _, state = jax.lax.while_loop(cond, wbody, (jnp.int32(0), state))
         return state.radiance, state.alpha
 
     return integrate

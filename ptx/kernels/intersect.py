@@ -22,6 +22,7 @@ cross-chip min-reduce uses in the scene-sharded mode (the reference's
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -97,13 +98,42 @@ def brute_any(fs: FlatScene, orig, dirn, tile: int = 512):
     return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros((r,), bool))
 
 
-def make_brute(fs_like: FlatScene, tile: int = 512):
-    """Bind the brute backend to a scene, returning (closest, any_hit)
-    callables with the standard signature (scene passed per-call so grads and
-    shardings flow through it)."""
+class Hit(NamedTuple):
+    """Per-ray hit payload — the compact record the scene-sharded mode
+    min-reduces across chips (the analog of ``models::intersect_result_min``,
+    ``src/models/intersect_result.hpp:7-12``, widened with the shading
+    attributes the reference's unwired cross-worker design would have
+    re-derived locally)."""
+
+    hit: jnp.ndarray  # [R] bool
+    t: jnp.ndarray  # [R] distance, INF on miss (the min-reduce key)
+    position: jnp.ndarray  # [R, 3]
+    normal: jnp.ndarray  # [R, 3] interpolated shading normal (pre normal-map)
+    tangent: jnp.ndarray  # [R, 3]
+    uv: jnp.ndarray  # [R, 2]
+    mat_id: jnp.ndarray  # [R] i32
+
+
+def attrs_from_indices(fs: FlatScene, t, tri, beta, gamma, hit) -> Hit:
+    """Resolve (triangle index, barycentrics) to the :class:`Hit` payload."""
+    from ptx.integrator.wavefront import compute_hit_attrs
+
+    position, n_interp, tangent, uv, mat_id = compute_hit_attrs(
+        fs, tri, beta, gamma
+    )
+    return Hit(hit, t, position, n_interp, tangent, uv, mat_id)
+
+
+def brute_closest_attrs(fs: FlatScene, orig, dirn, tile: int = 512):
+    t, tri, beta, gamma, hit = brute_closest(fs, orig, dirn, tile)
+    return attrs_from_indices(fs, t, tri, beta, gamma, hit)
+
+
+def make_brute(tile: int = 512):
+    """Return (closest, any_hit) callables with the integrator signature."""
 
     def closest(fs, orig, dirn):
-        return brute_closest(fs, orig, dirn, tile)
+        return brute_closest_attrs(fs, orig, dirn, tile)
 
     def any_hit(fs, orig, dirn):
         return brute_any(fs, orig, dirn, tile)

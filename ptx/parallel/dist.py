@@ -1,0 +1,173 @@
+"""Distributed (multi-chip) rendering via shard_map over the device mesh.
+
+The two parallelism strategies of the reference (SURVEY.md §2.5), done the
+TPU way inside one SPMD program:
+
+* **Ray parallelism** (``dp`` axis) — the reference's sample/pixel
+  parallelism (thread-pool scanline jobs / shared stage queues,
+  ``core/renderer.cpp:357-401``): the pixel wavefront is sharded across
+  chips; tiles are disjoint so no per-ray collective is needed.
+* **Scene parallelism** (``tp`` axis) — the reference's primitive
+  partitioning + per-ray min-distance reduce (provisioned over SNS/SQS but
+  never wired at runtime, see SURVEY.md §2.1): triangle arrays are sharded;
+  every chip intersects the whole (replicated-over-tp) ray wavefront against
+  its shard, and the winning hit is resolved with a two-phase
+  ``pmin``-over-ICI reduce — distance first, then lowest chip index as the
+  tie-break — followed by a masked ``psum`` that materializes the winner's
+  hit payload everywhere.  This is W5 (``intersection_worker.cpp:69-147``)
+  implemented for real.
+
+Shadow (any-hit) queries OR-reduce across the scene axis exactly like the
+reference's direct-lighting reduce (``intersection_worker.cpp:114-147``).
+
+Gradients flow through everything (psum transposes cleanly), so the same
+machinery serves the inverse-rendering data-parallel gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ptx import geometry
+from ptx.config import RenderConfig
+from ptx.integrator.wavefront import make_integrator
+from ptx.kernels.intersect import Hit
+from ptx.parallel import mesh as pmesh
+from ptx.scene.flatten import FlatScene, SceneStatic
+
+
+def sharded_closest(base_closest, axis: str = pmesh.AXIS_SCENE):
+    """Wrap a local closest-hit backend with the cross-chip min reduce."""
+
+    def closest(fs: FlatScene, orig, dirn) -> Hit:
+        h: Hit = base_closest(fs, orig, dirn)
+        t = jnp.where(h.hit, h.t, geometry.INF)
+        # Phase 1: winning distance across scene shards.
+        t_min = jax.lax.pmin(t, axis)
+        # Phase 2: lowest chip index among (near-)winners as tie-break.
+        ax = jax.lax.axis_index(axis)
+        n_ax = jax.lax.axis_size(axis)
+        cand = jnp.where(t == t_min, ax, n_ax)
+        ax_win = jax.lax.pmin(cand, axis)
+        win = (t == t_min) & (ax == ax_win)
+
+        def pick(x):
+            mask = win if x.ndim == 1 else win[..., None]
+            return jax.lax.psum(jnp.where(mask, x, jnp.zeros_like(x)), axis)
+
+        return Hit(
+            hit=jax.lax.pmax(h.hit.astype(jnp.int32), axis) > 0,
+            t=t_min,
+            position=pick(h.position),
+            normal=pick(h.normal),
+            tangent=pick(h.tangent),
+            uv=pick(h.uv),
+            mat_id=pick(h.mat_id),
+        )
+
+    return closest
+
+
+def sharded_any_hit(base_any, axis: str = pmesh.AXIS_SCENE):
+    """OR-reduce occlusion across scene shards (the direct-lighting reduce,
+    ``intersection_worker.cpp:114-147``)."""
+
+    def any_hit(fs: FlatScene, orig, dirn):
+        local = base_any(fs, orig, dirn)
+        return jax.lax.pmax(local.astype(jnp.int32), axis) > 0
+
+    return any_hit
+
+
+def make_distributed_sample_fn(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    plan: pmesh.Plan,
+):
+    """Jitted SPMD ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` over the
+    whole mesh: pixels sharded along ``dp``, scene optionally along ``tp``."""
+    from ptx.render import get_backend
+
+    base_closest, base_any = get_backend(static, cfg)
+    if plan.scene_sharded:
+        closest = sharded_closest(base_closest)
+        any_hit = sharded_any_hit(base_any)
+    else:
+        closest, any_hit = base_closest, base_any
+    integrator = make_integrator(static, cfg, closest, any_hit)
+
+    n_pixels = cfg.width * cfg.height
+    if n_pixels % plan.dp:
+        raise ValueError(
+            f"pixel count {n_pixels} must divide the ray axis ({plan.dp})"
+        )
+
+    fs_specs = pmesh.scene_shardings(mesh, plan.scene_sharded)
+    ids_spec = P(pmesh.AXIS_RAYS)
+
+    inner = jax.shard_map(
+        lambda fs, pix, smp: integrator(fs, pix, smp),
+        mesh=mesh,
+        in_specs=(fs_specs, ids_spec, ids_spec),
+        out_specs=(ids_spec, ids_spec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def sample_pass(fs: FlatScene, sample_id):
+        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+        sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
+        return inner(fs, pixel_ids, sample_ids)
+
+    return sample_pass
+
+
+def render_distributed(
+    fs: FlatScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    plan: Optional[pmesh.Plan] = None,
+    mesh: Optional[Mesh] = None,
+    progress=None,
+):
+    """Multi-chip progressive render (same contract as ``ptx.render.render``)."""
+    from ptx.integrator import accumulate
+    from ptx.render import RenderResult, _update_claim, _update_mean
+
+    if plan is None:
+        plan = pmesh.plan(static.n_tris_padded)
+    if mesh is None:
+        mesh = pmesh.make_mesh(plan)
+    fs = pmesh.shard_scene(fs, mesh, plan.scene_sharded)
+    sample_fn = make_distributed_sample_fn(static, cfg, mesh, plan)
+
+    p = cfg.width * cfg.height
+    if cfg.transparent_background:
+        carry = (jnp.zeros((p, 3)), jnp.zeros((p,)), jnp.zeros((p,), bool))
+    else:
+        carry = (jnp.zeros((p, 3)), jnp.zeros((p,)))
+    for s in range(cfg.samples):
+        radiance, alpha = sample_fn(fs, jnp.int32(s))
+        n = jnp.float32(s)
+        if cfg.transparent_background:
+            carry = _update_claim(carry, radiance, alpha, n)
+        else:
+            carry = _update_mean(carry, radiance, alpha, n)
+        if progress is not None:
+            progress(s + 1, cfg.samples)
+
+    color, alpha = carry[0], carry[1]
+    image = accumulate.finalize(color, alpha)
+    h, w = cfg.height, cfg.width
+    return RenderResult(
+        color=np.asarray(color).reshape(h, w, 3),
+        alpha=np.asarray(alpha).reshape(h, w),
+        image=np.asarray(image).reshape(h, w, 4),
+    )

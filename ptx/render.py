@@ -53,29 +53,36 @@ def load_scene(
 
 def get_backend(static: SceneStatic, cfg: RenderConfig):
     """Resolve the intersection backend pair (closest, any_hit)."""
-    name = cfg.intersector
-    if name == "auto":
-        if static.n_tris_padded <= 65536:
-            name = "brute"
-        else:
-            name = "bvh"
+    name = resolve_intersector(static, cfg)
     if name == "brute":
-        def closest(fs, orig, dirn):
-            return intersect_mod.brute_closest(fs, orig, dirn)
-
-        def any_hit(fs, orig, dirn):
-            return intersect_mod.brute_any(fs, orig, dirn)
-
-        return closest, any_hit
+        return intersect_mod.make_brute()
     if name == "bvh":
         from ptx.accel import traverse as bvh_traverse
 
-        return bvh_traverse.make_backend()
+        if static.n_bvh_nodes == 0:
+            raise ValueError("bvh backend requires ensure_accel() first")
+        return bvh_traverse.make_backend(static.bvh_leaf_size)
     if name == "pallas":
         from ptx.kernels import intersect_pallas
 
         return intersect_pallas.make_backend(static)
     raise ValueError(f"unknown intersector {name!r}")
+
+
+def resolve_intersector(static: SceneStatic, cfg: RenderConfig) -> str:
+    name = cfg.intersector
+    if name == "auto":
+        name = "brute" if static.n_tris_padded <= 65536 else "bvh"
+    return name
+
+
+def ensure_accel(fs: FlatScene, static: SceneStatic, cfg: RenderConfig):
+    """Attach the BVH when the resolved backend needs one."""
+    if resolve_intersector(static, cfg) == "bvh" and static.n_bvh_nodes == 0:
+        from ptx.accel.bvh import build_bvh
+
+        fs, static = build_bvh(fs, static)
+    return fs, static
 
 
 def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
@@ -141,6 +148,7 @@ def render(
     progress: Optional[callable] = None,
 ) -> RenderResult:
     """Render ``cfg.samples`` progressive sample passes."""
+    fs, static = ensure_accel(fs, static, cfg)
     sample_fn = make_sample_fn(static, cfg)
     p = cfg.width * cfg.height
     if cfg.transparent_background:

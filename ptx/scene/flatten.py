@@ -84,6 +84,13 @@ class FlatScene(NamedTuple):
     sun_dir: np.ndarray  # [3] toward the sun
     sun_energy: np.ndarray  # [3]
     sun_angular_radius: np.ndarray  # scalar
+    # Flattened stackless BVH (dummy 1-node arrays until ptx.accel.build_bvh
+    # attaches the real thing; presence is SceneStatic.n_bvh_nodes > 0).
+    bvh_min: np.ndarray = np.zeros((1, 3), np.float32)  # [Nn, 3]
+    bvh_max: np.ndarray = np.zeros((1, 3), np.float32)  # [Nn, 3]
+    bvh_first: np.ndarray = np.zeros(1, np.int32)  # [Nn] leaf first tri
+    bvh_count: np.ndarray = np.zeros(1, np.int32)  # [Nn] leaf size (0=interior)
+    bvh_miss: np.ndarray = np.full(1, -1, np.int32)  # [Nn] escape link
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +101,8 @@ class SceneStatic:
     has_sun: bool
     has_textures: bool
     env_tex: int = -1  # texture-pack slot of an equirect env map, -1 = none
+    n_bvh_nodes: int = 0  # 0 = no BVH attached
+    bvh_leaf_size: int = 8
 
 
 def flatten(
