@@ -195,6 +195,7 @@ def build_bvh(
     static: SceneStatic,
     leaf_size: int = 8,
     n_bins: int = 16,
+    backend: str = "auto",
 ) -> Tuple[FlatScene, SceneStatic]:
     """Build the BVH over the *valid* triangles and return a new
     (FlatScene, SceneStatic) with triangles reordered leaf-contiguously and
@@ -214,8 +215,21 @@ def build_bvh(
     bb_max_tri = np.maximum(np.maximum(v0, v1), v2)
     centroids = (v0 + v1 + v2) / 3.0
 
-    nodes, order = _sah_build(centroids, bb_min_tri, bb_max_tri, leaf_size, n_bins)
-    bb_min, bb_max, first, count, miss = _flatten_dfs(nodes)
+    result = None
+    if backend in ("auto", "native"):
+        from ptx.accel import native
+
+        result = native.build_bvh_native(v0, e1[:n], e2[:n], leaf_size, n_bins)
+        if result is None and backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
+    if result is not None:
+        order, bb_min, bb_max, first, count, miss, _ = result
+        nodes = range(len(first))  # only len() is used below
+    else:
+        nodes, order = _sah_build(
+            centroids, bb_min_tri, bb_max_tri, leaf_size, n_bins
+        )
+        bb_min, bb_max, first, count, miss = _flatten_dfs(nodes)
 
     # Permute triangle-indexed arrays (identity on the padding tail).
     perm = np.concatenate([order, np.arange(n, a.shape[0])])

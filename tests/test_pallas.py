@@ -1,0 +1,70 @@
+"""Pallas kernel correctness vs the pure-JAX oracle (interpret mode in CI)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptx import render as R
+from ptx.config import RenderConfig
+from ptx.kernels import intersect as brute
+from ptx.kernels import intersect_pallas as kp
+from ptx.scene import camera as pcamera
+
+CORNELL = "/root/reference/path-tracer-core/scenes/cornell-box/cornell.gltf"
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return R.load_scene(CORNELL)
+
+
+def _rays(fs, n=48 * 48, w=48, h=48):
+    pix = jnp.arange(n, dtype=jnp.int32)
+    smp = jnp.zeros_like(pix)
+    return pcamera.generate_rays(fs, pix, smp, w, h)
+
+
+def test_pallas_closest_matches_brute(cornell):
+    fs, static = cornell
+    orig, dirn = _rays(fs)
+    hp = kp.closest_pallas(fs, orig, dirn, interpret=True)
+    hr = brute.brute_closest_attrs(fs, orig, dirn)
+    np.testing.assert_array_equal(np.asarray(hp.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[m], np.asarray(hr.t)[m], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.position)[m], np.asarray(hr.position)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(hp.mat_id)[m], np.asarray(hr.mat_id)[m])
+
+
+def test_pallas_any_matches_brute(cornell):
+    fs, static = cornell
+    orig, dirn = _rays(fs)
+    ah = kp.any_pallas(fs, orig, dirn, interpret=True)
+    hr = brute.brute_any(fs, orig, dirn)
+    np.testing.assert_array_equal(np.asarray(ah), np.asarray(hr))
+
+
+def test_pallas_unaligned_ray_count(cornell):
+    # 577 rays: not a multiple of the 256-ray block; padding must be exact.
+    fs, static = cornell
+    orig, dirn = _rays(fs, n=577, w=577, h=1)
+    hp = kp.closest_pallas(fs, orig, dirn, interpret=True)
+    hr = brute.brute_closest_attrs(fs, orig, dirn)
+    np.testing.assert_array_equal(np.asarray(hp.hit), np.asarray(hr.hit))
+    assert hp.t.shape == (577,)
+
+
+def test_pallas_render_matches_brute(cornell):
+    fs, static = cornell
+    cfg_b = RenderConfig(width=32, height=32, samples=2, bounces=2,
+                         intersector="brute")
+    cfg_p = RenderConfig(width=32, height=32, samples=2, bounces=2,
+                         intersector="pallas")
+    a = R.render(fs, static, cfg_b)
+    b = R.render(fs, static, cfg_p)
+    np.testing.assert_allclose(a.color, b.color, rtol=1e-4, atol=1e-5)
