@@ -33,6 +33,8 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--physical", action="store_true",
                    help="physically-correct mode instead of reference quirks")
     p.add_argument("--config", help="JSON RenderConfig (overrides other flags)")
+    p.add_argument("--checkpoint", help="checkpoint file for save/resume")
+    p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
 
 
@@ -69,7 +71,9 @@ def cmd_render(args) -> int:
         print(f"\rsample {done}/{total}", end="", file=sys.stderr)
 
     t0 = time.time()
-    res = R.render(fs, static, cfg, progress=progress)
+    res = R.render(fs, static, cfg, progress=progress,
+                   checkpoint_path=args.checkpoint,
+                   checkpoint_every=args.checkpoint_every)
     dt = time.time() - t0
     rays = cfg.width * cfg.height * cfg.samples
     print(f"\nrendered {rays} primary rays in {dt:.2f}s "

@@ -146,8 +146,18 @@ def render(
     static: SceneStatic,
     cfg: RenderConfig,
     progress: Optional[callable] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 5,
 ) -> RenderResult:
-    """Render ``cfg.samples`` progressive sample passes."""
+    """Render ``cfg.samples`` progressive sample passes.
+
+    With ``checkpoint_path``, resumes from a compatible checkpoint and writes
+    one every ``checkpoint_every`` samples (the reference's save-every-5
+    cadence, ``renderer.cpp:409``); the absolute-sample-id RNG makes the
+    resumed image identical to an uninterrupted run.
+    """
+    from ptx.io import checkpoint as ckpt_mod
+
     fs, static = ensure_accel(fs, static, cfg)
     sample_fn = make_sample_fn(static, cfg)
     p = cfg.width * cfg.height
@@ -156,7 +166,41 @@ def render(
     else:
         carry = (jnp.zeros((p, 3)), jnp.zeros((p,)))
 
-    for s in range(cfg.samples):
+    start_sample = 0
+    fingerprint = None
+    if checkpoint_path is not None:
+        fingerprint = ckpt_mod.config_fingerprint(cfg)
+        loaded = ckpt_mod.load(checkpoint_path, fingerprint)
+        if loaded is not None and 0 < loaded.samples_done <= cfg.samples:
+            start_sample = loaded.samples_done
+            if cfg.transparent_background:
+                carry = (
+                    jnp.asarray(loaded.color),
+                    jnp.asarray(loaded.alpha),
+                    jnp.asarray(
+                        loaded.claimed
+                        if loaded.claimed is not None
+                        else np.zeros(p, bool)
+                    ),
+                )
+            else:
+                carry = (jnp.asarray(loaded.color), jnp.asarray(loaded.alpha))
+
+    def write_checkpoint(done):
+        ckpt_mod.save(
+            checkpoint_path,
+            ckpt_mod.Checkpoint(
+                color=np.asarray(carry[0]),
+                alpha=np.asarray(carry[1]),
+                claimed=(
+                    np.asarray(carry[2]) if cfg.transparent_background else None
+                ),
+                samples_done=done,
+                fingerprint=fingerprint,
+            ),
+        )
+
+    for s in range(start_sample, cfg.samples):
         radiance, alpha = sample_fn(fs, jnp.int32(s))
         n = jnp.float32(s)
         if cfg.transparent_background:
@@ -165,6 +209,15 @@ def render(
             carry = _update_mean(carry, radiance, alpha, n)
         if progress is not None:
             progress(s + 1, cfg.samples)
+        if (
+            checkpoint_path is not None
+            and (s + 1) % checkpoint_every == 0
+            and (s + 1) < cfg.samples
+        ):
+            write_checkpoint(s + 1)
+
+    if checkpoint_path is not None:
+        write_checkpoint(cfg.samples)
 
     color, alpha = carry[0], carry[1]
     image = accumulate.finalize(color, alpha)
