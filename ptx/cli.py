@@ -34,6 +34,7 @@ def _add_render_args(p: argparse.ArgumentParser):
                    help="physically-correct mode instead of reference quirks")
     p.add_argument("--config", help="JSON RenderConfig (overrides other flags)")
     p.add_argument("--checkpoint", help="checkpoint file for save/resume")
+    p.add_argument("--env", help="environment map image (.hdr or LDR)")
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
 
@@ -61,8 +62,13 @@ def cmd_render(args) -> int:
     from ptx.io.png import write_png
 
     cfg = _config_from_args(args)
+    env_image = None
+    if args.env:
+        from ptx.io.hdr import load_env_image
+
+        env_image = load_env_image(args.env)
     t0 = time.time()
-    fs, static = R.load_scene(args.scene, quirks=cfg.quirks)
+    fs, static = R.load_scene(args.scene, quirks=cfg.quirks, env_image=env_image)
     t_load = time.time() - t0
     print(f"loaded {static.n_tris} triangles, {static.n_materials} materials "
           f"in {t_load:.2f}s (sun={static.has_sun})", file=sys.stderr)
@@ -91,6 +97,19 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_partition(args) -> int:
+    """Scene partitioning plan (the preprocessor's /preprocess response)."""
+    from ptx.parallel.partition import split_scene
+
+    split = split_scene(
+        args.scene,
+        num_workers=args.num_workers,
+        memory_per_worker_gb=args.memory_per_worker_gb,
+    )
+    print(split.to_json())
+    return 0
+
+
 def cmd_invert(args) -> int:
     from ptx.diff.inverse import run_inverse_demo
 
@@ -110,6 +129,12 @@ def main(argv=None) -> int:
             p.add_argument("--steps", type=int, default=100)
             p.add_argument("--lr", type=float, default=0.05)
         p.set_defaults(fn=fn)
+    p = sub.add_parser("partition")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--memory-per-worker-gb", type=float, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_partition)
     args = parser.parse_args(argv)
     if args.cpu:
         import jax

@@ -110,6 +110,10 @@ def split_scene(
     """Greedy primitive assignment (reference ``get_split_scene``,
     ``preprocessor.py:26-75``): advance to the next worker when either the
     per-worker memory budget or the equal-count threshold is reached."""
+    if num_workers is not None and num_workers < 1:
+        raise ValueError(f"num_workers must be >= 1, got {num_workers}")
+    if memory_per_worker_gb is not None and memory_per_worker_gb <= 0:
+        raise ValueError("memory_per_worker_gb must be positive")
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path) as f:
         gltf = json.load(f)

@@ -250,6 +250,14 @@ def flatten(
             slot(mat.emissive_tex),
         ]
 
+    if cursor >= (1 << 24):
+        # Texture addressing runs in float32 (exact integers < 2^24) — see
+        # ptx/scene/textures.py.  Split packs or mip large textures past this.
+        raise ValueError(
+            f"texture pack has {cursor} texels (>= 2^24); float32 addressing "
+            "would lose exactness"
+        )
+
     sun = scene.sun
     fs = FlatScene(
         tri_valid=tri_valid,
