@@ -37,7 +37,7 @@ SENTINEL = np.int32(-1)
 TRI_FIELDS = (
     "tri_a", "tri_e1", "tri_e2", "tri_valid",
     "n0", "n1", "n2", "t0", "t1", "t2",
-    "uv0", "uv1", "uv2", "mat_id",
+    "uv0", "uv1", "uv2", "mat_id", "tri_attrs",
 )
 
 

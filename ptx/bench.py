@@ -39,7 +39,8 @@ def run_bench(
 
     if cfg is None:
         cfg = RenderConfig(
-            width=256, height=256, samples=16, bounces=4, intersector="auto"
+            width=256, height=256, samples=16, bounces=4,
+            intersector="pallas", shader="auto",
         )
     scene = scene or CORNELL
 

@@ -29,6 +29,7 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intersector", default="auto",
                    choices=["auto", "brute", "bvh", "pallas"])
+    p.add_argument("--shader", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--transparent-background", action="store_true")
     p.add_argument("--physical", action="store_true",
                    help="physically-correct mode instead of reference quirks")
@@ -52,6 +53,7 @@ def _config_from_args(args):
         bounces=args.bounces,
         seed=args.seed,
         intersector=args.intersector,
+        shader=args.shader,
         transparent_background=args.transparent_background,
         quirks=Quirks.physical() if args.physical else Quirks(),
     )

@@ -76,6 +76,9 @@ class RenderConfig:
     rays_per_batch: Optional[int] = None
     # Intersection backend: "auto" | "brute" | "bvh" | "pallas".
     intersector: str = "auto"
+    # Shading engine: "auto" (fused Pallas kernels on TPU, XLA elsewhere),
+    # "xla", or "pallas".
+    shader: str = "auto"
     quirks: Quirks = dataclasses.field(default_factory=Quirks)
 
     def to_json(self) -> str:

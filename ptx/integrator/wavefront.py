@@ -121,7 +121,10 @@ def make_integrator(
     the occlusion boolean.  Swap backends without touching the shading math.
     """
     q = cfg.quirks
-    max_iters = cfg.bounces + cfg.opacity_extra_iters
+    # Opacity passthrough does not consume a bounce; extra loop headroom is
+    # only needed when some material can actually pass rays through.
+    extra = cfg.opacity_extra_iters if static.has_translucent else 0
+    max_iters = cfg.bounces + extra
 
     def step(fs: FlatScene, it, state: RayState) -> RayState:
         R = state.orig.shape[0]

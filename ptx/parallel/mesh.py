@@ -98,7 +98,7 @@ def scene_shardings(mesh: Mesh, scene_sharded: bool):
     tri_fields = {
         "tri_a", "tri_e1", "tri_e2", "tri_valid",
         "n0", "n1", "n2", "t0", "t1", "t2",
-        "uv0", "uv1", "uv2", "mat_id",
+        "uv0", "uv1", "uv2", "mat_id", "tri_attrs",
     }
     spec = {}
     for field in FlatScene._fields:

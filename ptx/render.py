@@ -85,11 +85,23 @@ def ensure_accel(fs: FlatScene, static: SceneStatic, cfg: RenderConfig):
     return fs, static
 
 
+def resolve_shader(cfg: RenderConfig) -> str:
+    if cfg.shader != "auto":
+        return cfg.shader
+    n_pixels = cfg.width * cfg.height
+    return "pallas" if n_pixels % 128 == 0 else "xla"
+
+
 def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
     """Jitted ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` rendering one
     full-image sample pass."""
     closest, any_hit = get_backend(static, cfg)
-    integrator = make_integrator(static, cfg, closest, any_hit)
+    if resolve_shader(cfg) == "pallas":
+        from ptx.kernels.shade_pallas import make_pallas_integrator
+
+        integrator = make_pallas_integrator(static, cfg, closest, any_hit)
+    else:
+        integrator = make_integrator(static, cfg, closest, any_hit)
     n_pixels = cfg.width * cfg.height
 
     @jax.jit

@@ -101,11 +101,12 @@ def importance_diffuse(u1, u2, normal):
     """Cosine-weighted hemisphere direction about ``normal``.
 
     Matches ``importance_lambert`` (``core/pbr.cpp:71-77``):
-    ``theta = acos(2*u1 - 1) / 2`` gives ``cos^2(theta) = u1`` — i.e. the
-    standard cosine-weighted polar CDF — then a uniform-azimuth cone vector.
+    ``theta = acos(2*u1 - 1) / 2`` gives ``cos(theta) = sqrt(u1)`` by the
+    half-angle identity — the standard cosine-weighted polar CDF — then a
+    uniform-azimuth cone vector.  (sqrt form: fewer transcendentals, and the
+    Pallas kernel path has no acos.)
     """
-    theta = jnp.arccos(jnp.clip(2.0 * u1 - 1.0, -1.0, 1.0)) * 0.5
-    return cone_vec(u2, jnp.cos(theta), normal)
+    return cone_vec(u2, jnp.sqrt(jnp.clip(u1, 0.0, 1.0)), normal)
 
 
 def importance_specular(u1, u2, normal, outcoming, roughness):

@@ -86,6 +86,13 @@ class FlatScene(NamedTuple):
     sun_angular_radius: np.ndarray  # scalar
     # Flattened stackless BVH (dummy 1-node arrays until ptx.accel.build_bvh
     # attaches the real thing; presence is SceneStatic.n_bvh_nodes > 0).
+    # Packed per-triangle shading attributes for the fused kernel path:
+    # one gather instead of eleven. Columns: n0(3) n1(3) n2(3) t0(3) t1(3)
+    # t2(3) uv0(2) uv1(2) uv2(2) mat_id(1) pad -> 32.
+    tri_attrs: np.ndarray = np.zeros((1, 32), np.float32)  # [N, 32]
+    # Packed material factors: albedo(3) opacity rough metal emissive(3)
+    # ior catcher pad -> 16.  (Texture slots stay in mat_tex.)
+    mat_packed: np.ndarray = np.zeros((1, 16), np.float32)  # [M, 16]
     bvh_min: np.ndarray = np.zeros((1, 3), np.float32)  # [Nn, 3]
     bvh_max: np.ndarray = np.zeros((1, 3), np.float32)  # [Nn, 3]
     bvh_first: np.ndarray = np.zeros(1, np.int32)  # [Nn] leaf first tri
@@ -101,6 +108,7 @@ class SceneStatic:
     has_sun: bool
     has_textures: bool
     env_tex: int = -1  # texture-pack slot of an equirect env map, -1 = none
+    has_translucent: bool = True  # any material can pass rays through
     n_bvh_nodes: int = 0  # 0 = no BVH attached
     bvh_leaf_size: int = 8
 
@@ -259,7 +267,30 @@ def flatten(
         )
 
     sun = scene.sun
+    mat_packed = np.zeros((m, 16), np.float32)
+    mat_packed[:, 0:3] = [mm.albedo for mm in mats]
+    mat_packed[:, 3] = [mm.opacity for mm in mats]
+    mat_packed[:, 4] = [mm.roughness for mm in mats]
+    mat_packed[:, 5] = [mm.metallic for mm in mats]
+    mat_packed[:, 6:9] = [mm.emissive for mm in mats]
+    mat_packed[:, 9] = [mm.ior for mm in mats]
+    mat_packed[:, 10] = [1.0 if mm.shadow_catcher else 0.0 for mm in mats]
+
+    tri_attrs = np.zeros((n_padded, 32), np.float32)
+    tri_attrs[:, 0:3] = flat["n0"]
+    tri_attrs[:, 3:6] = flat["n1"]
+    tri_attrs[:, 6:9] = flat["n2"]
+    tri_attrs[:, 9:12] = flat["t0"]
+    tri_attrs[:, 12:15] = flat["t1"]
+    tri_attrs[:, 15:18] = flat["t2"]
+    tri_attrs[:, 18:20] = flat["uv0"]
+    tri_attrs[:, 20:22] = flat["uv1"]
+    tri_attrs[:, 22:24] = flat["uv2"]
+    tri_attrs[:, 24] = mat_id.astype(np.float32)
+
     fs = FlatScene(
+        tri_attrs=tri_attrs,
+        mat_packed=mat_packed,
         tri_valid=tri_valid,
         mat_id=mat_id,
         mat_albedo=np.asarray([mm.albedo for mm in mats], np.float32),
@@ -284,6 +315,9 @@ def flatten(
         sun_angular_radius=np.float32(sun.angular_radius if sun else 0.0),
         **flat,
     )
+    has_translucent = any(
+        mm.opacity < 1.0 - 1e-4 or mm.opacity_tex >= 0 for mm in mats
+    )
     static = SceneStatic(
         n_tris=n,
         n_tris_padded=n_padded,
@@ -291,6 +325,7 @@ def flatten(
         has_sun=sun is not None,
         has_textures=len(used_images) > 0,
         env_tex=env_tex,
+        has_translucent=has_translucent,
     )
     return fs, static
 

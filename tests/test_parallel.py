@@ -116,6 +116,7 @@ def test_union_of_shards_renders_identically(cornell):
     tri_fields = [
         "tri_a", "tri_e1", "tri_e2", "tri_valid",
         "n0", "n1", "n2", "t0", "t1", "t2", "uv0", "uv1", "uv2", "mat_id",
+        "tri_attrs",
     ]
     merged = fs_a._replace(
         **{
