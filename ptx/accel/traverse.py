@@ -99,6 +99,38 @@ def _make_traverse(leaf_size: int, max_steps: int, any_hit: bool):
     return traverse_one
 
 
+def node_visits(fs: FlatScene, orig, dirn, max_steps: int = 4096):
+    """Per-ray count of BVH nodes visited — the debug oracle standing in for
+    the reference's KD-tree depth visualization (``mesh.cpp:314-331``,
+    ``renderer.hpp:33``): reads traversal cost directly instead of coloring
+    nodes by pointer hash."""
+
+    def one(o, d):
+        inv_d = 1.0 / d
+
+        def cond(carry):
+            node, steps = carry
+            return (node >= 0) & (steps < max_steps)
+
+        def body(carry):
+            node, steps = carry
+            t0 = (fs.bvh_min[node] - o) * inv_d
+            t1 = (fs.bvh_max[node] - o) * inv_d
+            tmin = jnp.minimum(t0, t1)
+            tmax = jnp.maximum(t0, t1)
+            near = jnp.max(jnp.where(jnp.isnan(tmin), -jnp.inf, tmin))
+            far = jnp.min(jnp.where(jnp.isnan(tmax), jnp.inf, tmax))
+            box_hit = (far >= jnp.maximum(near, 0.0))
+            descend = box_hit & (fs.bvh_count[node] == 0)
+            node = jnp.where(descend, node + 1, fs.bvh_miss[node])
+            return node, steps + 1
+
+        _, steps = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        return steps
+
+    return jax.vmap(one)(orig, dirn)
+
+
 def make_backend(leaf_size: int = 8, max_steps: int = 4096):
     """(closest, any_hit) pair over the attached flattened BVH."""
     from ptx.kernels.intersect import attrs_from_indices

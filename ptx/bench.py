@@ -26,6 +26,47 @@ BASELINE_PATHS_PER_SEC = 1.0e5
 CORNELL = "/root/reference/path-tracer-core/scenes/cornell-box/cornell.gltf"
 
 
+def run_backward_bench(scene: Optional[str] = None, cfg=None) -> dict:
+    """grad-paths/s: value+grad of the image MSE w.r.t. material parameters
+    through the full differentiable wavefront (BASELINE.md backward metric)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ptx import render as R
+    from ptx.config import RenderConfig
+    from ptx.diff import inverse
+
+    if cfg is None:
+        cfg = RenderConfig(width=128, height=128, samples=4, bounces=4,
+                           intersector="pallas")
+    scene = scene or CORNELL
+    fs, static = R.load_scene(scene, quirks=cfg.quirks)
+    n_pixels = cfg.width * cfg.height
+    target = jnp.zeros((n_pixels, 3))
+    loss_fn = inverse.make_loss_fn(static, cfg, target,
+                                   ("mat_albedo", "mat_emissive"))
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    params = {"mat_albedo": fs.mat_albedo, "mat_emissive": fs.mat_emissive}
+
+    out = grad_fn(params, fs, jnp.int32(0))
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    outs = [grad_fn(params, fs, jnp.int32(s)) for s in range(cfg.samples)]
+    jax.block_until_ready(outs)
+    dt = _time.perf_counter() - t0
+    paths = n_pixels * cfg.samples
+    value = paths / dt
+    return {
+        "metric": "cornell_128x128_b4_backward",
+        "value": round(value, 1),
+        "unit": "grad-paths/s",
+        "vs_baseline": round(value / BASELINE_PATHS_PER_SEC, 3),
+        "elapsed_s": round(dt, 3),
+    }
+
+
 def run_bench(
     scene: Optional[str] = None,
     cfg=None,

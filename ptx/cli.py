@@ -36,6 +36,9 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--config", help="JSON RenderConfig (overrides other flags)")
     p.add_argument("--checkpoint", help="checkpoint file for save/resume")
     p.add_argument("--env", help="environment map image (.hdr or LDR)")
+    p.add_argument("--visualize", choices=["depth", "normals", "bvh-depth",
+                                           "nan-check"],
+                   help="debug visualization instead of a beauty render")
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
 
@@ -75,6 +78,15 @@ def cmd_render(args) -> int:
     print(f"loaded {static.n_tris} triangles, {static.n_materials} materials "
           f"in {t_load:.2f}s (sun={static.has_sun})", file=sys.stderr)
 
+    if args.visualize:
+        from ptx.debug import visualize
+
+        img = visualize(fs, static, cfg, args.visualize)
+        write_png(args.out, img)
+        print(f"wrote {args.visualize} visualization to {args.out}",
+              file=sys.stderr)
+        return 0
+
     def progress(done, total):
         print(f"\rsample {done}/{total}", end="", file=sys.stderr)
 
@@ -92,9 +104,10 @@ def cmd_render(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from ptx.bench import run_bench
+    from ptx.bench import run_backward_bench, run_bench
 
-    result = run_bench(scene=args.scene, cfg=_config_from_args(args))
+    fn = run_backward_bench if args.backward else run_bench
+    result = fn(scene=args.scene, cfg=None if args.backward else _config_from_args(args))
     print(json.dumps(result))
     return 0
 
@@ -130,6 +143,9 @@ def main(argv=None) -> int:
         if name == "invert":
             p.add_argument("--steps", type=int, default=100)
             p.add_argument("--lr", type=float, default=0.05)
+        if name == "bench":
+            p.add_argument("--backward", action="store_true",
+                           help="measure grad-paths/s instead of forward")
         p.set_defaults(fn=fn)
     p = sub.add_parser("partition")
     p.add_argument("--scene", required=True)

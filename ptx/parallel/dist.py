@@ -74,6 +74,83 @@ def sharded_closest(base_closest, axis: str = pmesh.AXIS_SCENE):
     return closest
 
 
+def ring_closest(base_closest, axis: str = pmesh.AXIS_SCENE):
+    """Ring-scheduled scene-sharded closest hit.
+
+    The ring-attention analog from SURVEY.md §5: instead of every chip
+    holding the full ray wavefront (all-gather + psum reduce, as
+    :func:`sharded_closest` does), each chip owns a *block of rays* and the
+    blocks rotate around the scene-shard ring with ``ppermute``, carrying
+    their running (min distance, best-hit payload) — exactly like ring
+    attention carries the running softmax state past resident KV shards.
+    After ``axis_size`` hops every ray has visited every shard and is back
+    home.  Ray memory per chip is 1/tp of the reduce variant; per-hop
+    payload rides the ICI ring.
+    """
+
+    def closest(fs: FlatScene, orig, dirn) -> Hit:
+        n = jax.lax.axis_size(axis)
+        right = [(i, (i + 1) % n) for i in range(n)]
+
+        def local(o, d):
+            h = base_closest(fs, o, d)
+            return h._replace(t=jnp.where(h.hit, h.t, geometry.INF))
+
+        def merge(best: Hit, new: Hit) -> Hit:
+            closer = new.t < best.t
+
+            def sel(a, b):
+                mask = closer if a.ndim == 1 else closer[..., None]
+                return jnp.where(mask, b, a)
+
+            return Hit(
+                hit=best.hit | new.hit,
+                t=jnp.minimum(best.t, new.t),
+                position=sel(best.position, new.position),
+                normal=sel(best.normal, new.normal),
+                tangent=sel(best.tangent, new.tangent),
+                uv=sel(best.uv, new.uv),
+                mat_id=sel(best.mat_id, new.mat_id),
+            )
+
+        def rotate(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, right), tree
+            )
+
+        carry = (orig, dirn, local(orig, dirn))
+        for _ in range(n - 1):
+            o, d, best = rotate(carry)
+            carry = (o, d, merge(best, local(o, d)))
+        # One final hop brings each ray block home.
+        _, _, best = rotate(carry)
+        return best
+
+    return closest
+
+
+def ring_any_hit(base_any, axis: str = pmesh.AXIS_SCENE):
+    """Ring-scheduled occlusion query (OR accumulates around the ring)."""
+
+    def any_hit(fs: FlatScene, orig, dirn):
+        n = jax.lax.axis_size(axis)
+        right = [(i, (i + 1) % n) for i in range(n)]
+
+        def rotate(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, right), tree
+            )
+
+        carry = (orig, dirn, base_any(fs, orig, dirn).astype(jnp.int32))
+        for _ in range(n - 1):
+            o, d, hit = rotate(carry)
+            carry = (o, d, hit | base_any(fs, o, d).astype(jnp.int32))
+        _, _, hit = rotate(carry)
+        return hit > 0
+
+    return any_hit
+
+
 def sharded_any_hit(base_any, axis: str = pmesh.AXIS_SCENE):
     """OR-reduce occlusion across scene shards (the direct-lighting reduce,
     ``intersection_worker.cpp:114-147``)."""
@@ -90,13 +167,25 @@ def make_distributed_sample_fn(
     cfg: RenderConfig,
     mesh: Mesh,
     plan: pmesh.Plan,
+    comm: str = "reduce",
 ):
     """Jitted SPMD ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` over the
-    whole mesh: pixels sharded along ``dp``, scene optionally along ``tp``."""
+    whole mesh: pixels sharded along ``dp``, scene optionally along ``tp``.
+
+    ``comm`` picks the scene-axis exchange:
+    * ``"reduce"`` — rays replicated over ``tp``; winning hits resolved by a
+      pmin + masked-psum payload reduce (W5 done with XLA collectives).
+    * ``"ring"``   — rays sharded over ``tp`` too; ray blocks ``ppermute``
+      around the shard ring carrying their running best hit (the
+      ring-attention schedule; 1/tp the ray memory, ICI-bandwidth bound).
+    """
     from ptx.render import get_backend
 
     base_closest, base_any = get_backend(static, cfg)
-    if plan.scene_sharded:
+    if plan.scene_sharded and comm == "ring":
+        closest = ring_closest(base_closest)
+        any_hit = ring_any_hit(base_any)
+    elif plan.scene_sharded:
         closest = sharded_closest(base_closest)
         any_hit = sharded_any_hit(base_any)
     else:
@@ -104,13 +193,17 @@ def make_distributed_sample_fn(
     integrator = make_integrator(static, cfg, closest, any_hit)
 
     n_pixels = cfg.width * cfg.height
-    if n_pixels % plan.dp:
+    ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)
+    if n_pixels % ray_ways:
         raise ValueError(
-            f"pixel count {n_pixels} must divide the ray axis ({plan.dp})"
+            f"pixel count {n_pixels} must divide the ray sharding ({ray_ways})"
         )
 
     fs_specs = pmesh.scene_shardings(mesh, plan.scene_sharded)
-    ids_spec = P(pmesh.AXIS_RAYS)
+    if comm == "ring" and plan.scene_sharded:
+        ids_spec = P((pmesh.AXIS_RAYS, pmesh.AXIS_SCENE))
+    else:
+        ids_spec = P(pmesh.AXIS_RAYS)
 
     inner = jax.shard_map(
         lambda fs, pix, smp: integrator(fs, pix, smp),
@@ -136,6 +229,7 @@ def render_distributed(
     plan: Optional[pmesh.Plan] = None,
     mesh: Optional[Mesh] = None,
     progress=None,
+    comm: str = "reduce",
 ):
     """Multi-chip progressive render (same contract as ``ptx.render.render``)."""
     from ptx.integrator import accumulate
@@ -146,7 +240,7 @@ def render_distributed(
     if mesh is None:
         mesh = pmesh.make_mesh(plan)
     fs = pmesh.shard_scene(fs, mesh, plan.scene_sharded)
-    sample_fn = make_distributed_sample_fn(static, cfg, mesh, plan)
+    sample_fn = make_distributed_sample_fn(static, cfg, mesh, plan, comm)
 
     p = cfg.width * cfg.height
     if cfg.transparent_background:

@@ -92,23 +92,56 @@ def resolve_shader(cfg: RenderConfig) -> str:
     return "pallas" if n_pixels % 128 == 0 else "xla"
 
 
-def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
-    """Jitted ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` rendering one
-    full-image sample pass."""
+def make_integrator_for(static: SceneStatic, cfg: RenderConfig):
     closest, any_hit = get_backend(static, cfg)
     if resolve_shader(cfg) == "pallas":
         from ptx.kernels.shade_pallas import make_pallas_integrator
 
-        integrator = make_pallas_integrator(static, cfg, closest, any_hit)
-    else:
-        integrator = make_integrator(static, cfg, closest, any_hit)
+        return make_pallas_integrator(static, cfg, closest, any_hit)
+    return make_integrator(static, cfg, closest, any_hit)
+
+
+def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
+    """Jitted ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` rendering one
+    full-image sample pass.
+
+    With ``cfg.rays_per_batch`` set, each pass runs in fixed-size pixel
+    chunks (one jitted launch per chunk, same executable) so wavefront state
+    stays bounded on huge frames — the static-shape analog of the
+    reference's queue back-pressure.
+    """
+    integrator = make_integrator_for(static, cfg)
     n_pixels = cfg.width * cfg.height
+    chunk = cfg.rays_per_batch
+    if chunk is None or chunk >= n_pixels:
+
+        @jax.jit
+        def sample_pass(fs: FlatScene, sample_id):
+            pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+            sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
+            return integrator(fs, pixel_ids, sample_ids)
+
+        return sample_pass
+
+    if n_pixels % chunk:
+        raise ValueError(
+            f"rays_per_batch {chunk} must divide the pixel count {n_pixels}"
+        )
 
     @jax.jit
-    def sample_pass(fs: FlatScene, sample_id):
-        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
-        sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
+    def chunk_pass(fs: FlatScene, start, sample_id):
+        pixel_ids = start + jnp.arange(chunk, dtype=jnp.int32)
+        sample_ids = jnp.full((chunk,), sample_id, jnp.int32)
         return integrator(fs, pixel_ids, sample_ids)
+
+    def sample_pass(fs: FlatScene, sample_id):
+        parts = [
+            chunk_pass(fs, jnp.int32(s), sample_id)
+            for s in range(0, n_pixels, chunk)
+        ]
+        radiance = jnp.concatenate([p[0] for p in parts])
+        alpha = jnp.concatenate([p[1] for p in parts])
+        return radiance, alpha
 
     return sample_pass
 

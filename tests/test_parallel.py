@@ -42,15 +42,19 @@ def test_plan_shapes():
     assert p.tp == 4 and p.dp == 2
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
-def test_distributed_matches_single_device(cornell, dp, tp):
+@pytest.mark.parametrize("dp,tp,comm", [
+    (8, 1, "reduce"), (4, 2, "reduce"), (2, 4, "reduce"), (1, 8, "reduce"),
+    (4, 2, "ring"), (2, 4, "ring"), (1, 8, "ring"),
+])
+def test_distributed_matches_single_device(cornell, dp, tp, comm):
     fs, static = cornell
     cfg = _cfg()
     single = R.render(fs, static, cfg)
 
     plan = pmesh.Plan(dp=dp, tp=tp, scene_sharded=tp > 1)
     meshdev = pmesh.make_mesh(plan)
-    multi = dist.render_distributed(fs, static, cfg, plan=plan, mesh=meshdev)
+    multi = dist.render_distributed(fs, static, cfg, plan=plan, mesh=meshdev,
+                                    comm=comm)
 
     # Counter-based RNG keyed by absolute pixel/sample ids makes the images
     # *bit-identical* regardless of sharding (up to float reduce order inside
