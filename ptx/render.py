@@ -35,9 +35,14 @@ def load_scene(
     quirks=None,
     pad_multiple: int = 256,
 ) -> Tuple[FlatScene, SceneStatic]:
-    """Load + flatten a glTF scene to device-ready arrays."""
+    """Load + flatten a glTF scene (or ``synthetic:<n_tris>[:seed]``) to
+    device-ready arrays."""
     import os
 
+    if path.startswith("synthetic:"):
+        from ptx.scene.synthetic import load_synthetic
+
+        return load_synthetic(path)
     scene = gltf.load(path, scene_work=scene_work)
     fs, static = flatten(
         scene,
