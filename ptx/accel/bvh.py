@@ -232,17 +232,27 @@ def build_bvh(
         bb_min, bb_max, first, count, miss = _flatten_dfs(nodes)
 
     # Permute triangle-indexed arrays (identity on the padding tail).
+    # The build itself is host-side; outputs mirror the input kind — numpy
+    # in, numpy out (callers upload once with render.to_device), device in,
+    # device out.
     perm = np.concatenate([order, np.arange(n, a.shape[0])])
-    import jax.numpy as jnp
+    was_device = hasattr(fs.tri_a, "devices")
+    if was_device:
+        import jax.numpy as jnp
 
-    new_fields = {f: jnp.asarray(np.asarray(getattr(fs, f))[perm]) for f in TRI_FIELDS}
+        conv = jnp.asarray
+    else:
+        conv = np.asarray
+    new_fields = {
+        f: conv(np.asarray(getattr(fs, f))[perm]) for f in TRI_FIELDS
+    }
     fs = fs._replace(
         **new_fields,
-        bvh_min=jnp.asarray(bb_min),
-        bvh_max=jnp.asarray(bb_max),
-        bvh_first=jnp.asarray(first),
-        bvh_count=jnp.asarray(count),
-        bvh_miss=jnp.asarray(miss),
+        bvh_min=conv(bb_min),
+        bvh_max=conv(bb_max),
+        bvh_first=conv(first),
+        bvh_count=conv(count),
+        bvh_miss=conv(miss),
     )
     static = dataclasses.replace(
         static, n_bvh_nodes=len(nodes), bvh_leaf_size=leaf_size

@@ -85,7 +85,8 @@ def run_bench(
         )
     scene = scene or CORNELL
 
-    fs, static = R.load_scene(scene, quirks=cfg.quirks)
+    fs, static = R.load_scene(scene, quirks=cfg.quirks, device=False)
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
     sample_fn = R.make_sample_fn(static, cfg)
 
     # Warmup (compile + device tunnel).

@@ -73,7 +73,8 @@ def cmd_render(args) -> int:
 
         env_image = load_env_image(args.env)
     t0 = time.time()
-    fs, static = R.load_scene(args.scene, quirks=cfg.quirks, env_image=env_image)
+    fs, static = R.load_scene(args.scene, quirks=cfg.quirks, env_image=env_image,
+                              device=False)
     t_load = time.time() - t0
     print(f"loaded {static.n_tris} triangles, {static.n_materials} materials "
           f"in {t_load:.2f}s (sun={static.has_sun})", file=sys.stderr)

@@ -85,7 +85,36 @@ def _mt_matrix(rays, tris):
     return jnp.where(ok, t, INF)
 
 
-def _closest_kernel(rays_ref, tris_ref, t_ref, idx_ref):
+def _tile_gate(rays, boxes_ref, j, best_t):
+    """Block-wide tile cull: can ANY lane's ray hit this tile's AABB closer
+    than its current best?  Triangles are BVH-ordered (see pack_tris), so a
+    512-triangle tile is spatially local and the gate skips most tiles for
+    most ray blocks — packet traversal without per-lane divergence."""
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    bx0, by0, bz0 = boxes_ref[j, 0], boxes_ref[j, 1], boxes_ref[j, 2]
+    bx1, by1, bz1 = boxes_ref[j, 3], boxes_ref[j, 4], boxes_ref[j, 5]
+
+    def slab(o, d, lo, hi):
+        inv = 1.0 / d
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        lo_t = jnp.minimum(t0, t1)
+        hi_t = jnp.maximum(t0, t1)
+        lo_t = jnp.where(jnp.isnan(lo_t), -jnp.inf, lo_t)
+        hi_t = jnp.where(jnp.isnan(hi_t), jnp.inf, hi_t)
+        return lo_t, hi_t
+
+    lx, hx = slab(ox, dx, bx0, bx1)
+    ly, hy = slab(oy, dy, by0, by1)
+    lz, hz = slab(oz, dz, bz0, bz1)
+    near = jnp.maximum(jnp.maximum(lx, ly), lz)
+    far = jnp.minimum(jnp.minimum(hx, hy), hz)
+    hit = (far >= jnp.maximum(near, 0.0)) & (near < best_t)
+    return jnp.any(hit)
+
+
+def _closest_kernel(rays_ref, tris_ref, box_ref, t_ref, idx_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -93,24 +122,34 @@ def _closest_kernel(rays_ref, tris_ref, t_ref, idx_ref):
         t_ref[:] = jnp.full_like(t_ref, INF)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    t = _mt_matrix(rays_ref[:], tris_ref[:])  # [RB, TT]
-    tmin = jnp.min(t, axis=1, keepdims=True)  # [RB, 1]
-    arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-    closer = tmin < t_ref[:]
-    t_ref[:] = jnp.where(closer, tmin, t_ref[:])
-    idx_ref[:] = jnp.where(closer, j * TT + arg, idx_ref[:])
+    @pl.when(_tile_gate(rays_ref[:], box_ref, j, t_ref[:]))
+    def _test():
+        t = _mt_matrix(rays_ref[:], tris_ref[:])  # [RB, TT]
+        tmin = jnp.min(t, axis=1, keepdims=True)  # [RB, 1]
+        arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+        closer = tmin < t_ref[:]
+        t_ref[:] = jnp.where(closer, tmin, t_ref[:])
+        idx_ref[:] = jnp.where(closer, j * TT + arg, idx_ref[:])
 
 
-def _any_kernel(rays_ref, tris_ref, hit_ref):
+def _any_kernel(rays_ref, tris_ref, box_ref, hit_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         hit_ref[:] = jnp.zeros_like(hit_ref)
 
-    t = _mt_matrix(rays_ref[:], tris_ref[:])
-    any_hit = jnp.any(t < INF, axis=1, keepdims=True)
-    hit_ref[:] = hit_ref[:] | any_hit.astype(jnp.int32)
+    not_done = jnp.any(hit_ref[:] == 0)
+    gate = _tile_gate(
+        rays_ref[:], box_ref, j,
+        jnp.where(hit_ref[:] > 0, -INF, INF),  # settled lanes never gate in
+    )
+
+    @pl.when(not_done & gate)
+    def _test():
+        t = _mt_matrix(rays_ref[:], tris_ref[:])
+        any_hit = jnp.any(t < INF, axis=1, keepdims=True)
+        hit_ref[:] = hit_ref[:] | any_hit.astype(jnp.int32)
 
 
 def _pack_rays(orig, dirn):
@@ -126,18 +165,40 @@ def _pack_rays(orig, dirn):
 
 
 def pack_tris(fs: FlatScene):
-    """[16, N'] triangle component matrix, N' padded to the tile size.
-    Zero columns are degenerate (det = 0 -> INF) and never hit."""
+    """[16, N'] triangle component matrix + [n_tiles, 8] tile AABBs,
+    N' padded to the tile size.  Zero columns are degenerate (det = 0 ->
+    INF) and never hit; padding-tile boxes are empty (min > max) and never
+    pass the gate.
+
+    Expecting BVH-ordered triangles (ptx.accel.build_bvh) for tight tile
+    boxes; unordered input stays correct, just culls less.
+    """
     n = fs.tri_a.shape[0]
     n_pad = -(-n // TT) * TT
     tris = jnp.zeros((16, n_pad), jnp.float32)
     tris = tris.at[0:3, :n].set(fs.tri_a.T)
     tris = tris.at[3:6, :n].set(fs.tri_e1.T)
     tris = tris.at[6:9, :n].set(fs.tri_e2.T)
-    return tris
+
+    n_tiles = n_pad // TT
+    a = tris[0:3].T.reshape(n_tiles, TT, 3)
+    b = a + tris[3:6].T.reshape(n_tiles, TT, 3)
+    c = a + tris[6:9].T.reshape(n_tiles, TT, 3)
+    valid = (
+        jnp.arange(n_pad).reshape(n_tiles, TT, 1) < fs.tri_valid.shape[0]
+    ) & fs.tri_valid[
+        jnp.minimum(jnp.arange(n_pad), fs.tri_valid.shape[0] - 1)
+    ].reshape(n_tiles, TT, 1)
+    big = jnp.float32(INF)
+    lo = jnp.min(jnp.where(valid, jnp.minimum(jnp.minimum(a, b), c), big), axis=1)
+    hi = jnp.max(jnp.where(valid, jnp.maximum(jnp.maximum(a, b), c), -big), axis=1)
+    boxes = jnp.zeros((n_tiles, 8), jnp.float32)
+    boxes = boxes.at[:, 0:3].set(lo)
+    boxes = boxes.at[:, 3:6].set(hi)
+    return tris, boxes
 
 
-def _grid_call(kernel, rays, tris, out_shapes, interpret):
+def _grid_call(kernel, rays, tris, boxes, out_shapes, interpret):
     r_pad = rays.shape[0]
     n_pad = tris.shape[1]
     grid = (r_pad // RB, n_pad // TT)
@@ -147,6 +208,7 @@ def _grid_call(kernel, rays, tris, out_shapes, interpret):
         in_specs=[
             pl.BlockSpec((RB, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, TT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all tile boxes resident
         ],
         out_specs=tuple(
             pl.BlockSpec((RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -156,7 +218,7 @@ def _grid_call(kernel, rays, tris, out_shapes, interpret):
         else pl.BlockSpec((RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
         interpret=interpret,
-    )(rays, tris)
+    )(rays, tris, boxes)
 
 
 def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
@@ -165,11 +227,12 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
 
     r = orig.shape[0]
     rays, r_pad = _pack_rays(orig, dirn)
-    tris = pack_tris(fs)
+    tris, boxes = pack_tris(fs)
     t, idx = _grid_call(
         _closest_kernel,
         rays,
         tris,
+        boxes,
         [
             jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
@@ -189,11 +252,12 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
 def any_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
     r = orig.shape[0]
     rays, r_pad = _pack_rays(orig, dirn)
-    tris = pack_tris(fs)
+    tris, boxes = pack_tris(fs)
     hit = _grid_call(
         _any_kernel,
         rays,
         tris,
+        boxes,
         [jax.ShapeDtypeStruct((r_pad, 1), jnp.int32)],
         interpret,
     )

@@ -34,6 +34,7 @@ def load_scene(
     env_image: Optional[np.ndarray] = None,
     quirks=None,
     pad_multiple: int = 256,
+    device: bool = True,
 ) -> Tuple[FlatScene, SceneStatic]:
     """Load + flatten a glTF scene (or ``synthetic:<n_tris>[:seed]``) to
     device-ready arrays."""
@@ -42,7 +43,8 @@ def load_scene(
     if path.startswith("synthetic:"):
         from ptx.scene.synthetic import load_synthetic
 
-        return load_synthetic(path)
+        fs, static = load_synthetic(path)
+        return (to_device(fs) if device else fs), static
     scene = gltf.load(path, scene_work=scene_work)
     fs, static = flatten(
         scene,
@@ -52,8 +54,14 @@ def load_scene(
     )
     if quirks is not None and quirks.use_emissive_strength:
         fs = apply_emissive_strength(fs, scene)
-    fs = jax.tree.map(jnp.asarray, fs)
-    return fs, static
+    # device=False keeps arrays on the host so accel builds (which permute
+    # the triangle arrays) don't pay a device round-trip first — use it when
+    # you will call ensure_accel + to_device yourself (render_gltf does).
+    return (to_device(fs) if device else fs), static
+
+
+def to_device(fs: FlatScene) -> FlatScene:
+    return jax.tree.map(jnp.asarray, fs)
 
 
 def get_backend(static: SceneStatic, cfg: RenderConfig):
@@ -77,17 +85,28 @@ def get_backend(static: SceneStatic, cfg: RenderConfig):
 def resolve_intersector(static: SceneStatic, cfg: RenderConfig) -> str:
     name = cfg.intersector
     if name == "auto":
-        name = "brute" if static.n_tris_padded <= 65536 else "bvh"
+        if jax.default_backend() == "tpu":
+            # The tile-culled Pallas sweep wins across scene sizes on TPU.
+            name = "pallas"
+        else:
+            name = "brute" if static.n_tris_padded <= 65536 else "bvh"
     return name
 
 
-def ensure_accel(fs: FlatScene, static: SceneStatic, cfg: RenderConfig):
-    """Attach the BVH when the resolved backend needs one."""
-    if resolve_intersector(static, cfg) == "bvh" and static.n_bvh_nodes == 0:
+def ensure_accel(fs: FlatScene, static: SceneStatic, cfg: RenderConfig,
+                 device: bool = False):
+    """Attach the BVH when the resolved backend needs one.
+
+    The Pallas sweep also wants the BVH *ordering* (leaf-contiguous
+    triangles make its 512-wide tiles spatially tight for the AABB gate),
+    so any non-trivial scene gets a build."""
+    name = resolve_intersector(static, cfg)
+    needs_bvh = name == "bvh" or (name == "pallas" and static.n_tris > 2048)
+    if needs_bvh and static.n_bvh_nodes == 0:
         from ptx.accel.bvh import build_bvh
 
         fs, static = build_bvh(fs, static)
-    return fs, static
+    return (to_device(fs) if device else fs), static
 
 
 def resolve_shader(cfg: RenderConfig) -> str:
@@ -208,7 +227,7 @@ def render(
     """
     from ptx.io import checkpoint as ckpt_mod
 
-    fs, static = ensure_accel(fs, static, cfg)
+    fs, static = ensure_accel(fs, static, cfg, device=True)
     sample_fn = make_sample_fn(static, cfg)
     p = cfg.width * cfg.height
     if cfg.transparent_background:
@@ -280,5 +299,5 @@ def render(
 
 
 def render_gltf(path: str, cfg: RenderConfig, **load_kwargs) -> RenderResult:
-    fs, static = load_scene(path, quirks=cfg.quirks, **load_kwargs)
+    fs, static = load_scene(path, quirks=cfg.quirks, device=False, **load_kwargs)
     return render(fs, static, cfg)

@@ -88,16 +88,11 @@ def make_tri_soup(
 
 
 def load_synthetic(spec: str):
-    """Parse ``synthetic:<n_tris>[:seed]`` -> flattened scene arrays."""
-    import jax
-
+    """Parse ``synthetic:<n_tris>[:seed]`` -> flattened scene arrays (host)."""
     from ptx.scene.flatten import flatten
 
     parts = spec.split(":")
     n_tris = int(parts[1])
     seed = int(parts[2]) if len(parts) > 2 else 0
     scene = make_tri_soup(n_tris, seed=seed)
-    fs, static = flatten(scene)
-    import jax.numpy as jnp
-
-    return jax.tree.map(jnp.asarray, fs), static
+    return flatten(scene)
