@@ -79,6 +79,9 @@ class RenderConfig:
     # Shading engine: "auto" (fused Pallas kernels on TPU, XLA elsewhere),
     # "xla", or "pallas".
     shader: str = "auto"
+    # Per-bounce ray sorting (wavefront coherence/compaction): "auto" (on for
+    # multi-tile Pallas sweeps), "on", or "off".
+    sort_rays: str = "auto"
     quirks: Quirks = dataclasses.field(default_factory=Quirks)
 
     def to_json(self) -> str:

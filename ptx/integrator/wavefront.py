@@ -39,6 +39,7 @@ from ptx import geometry
 from ptx import math as pmath
 from ptx import sampling
 from ptx.config import RenderConfig
+from ptx.kernels import sorting
 from ptx.scene import camera as pcamera
 from ptx.scene import textures
 from ptx.scene.flatten import FlatScene, SceneStatic
@@ -125,13 +126,22 @@ def make_integrator(
     # only needed when some material can actually pass rays through.
     extra = cfg.opacity_extra_iters if static.has_translucent else 0
     max_iters = cfg.bounces + extra
+    do_compact = sorting.should_compact(static)
 
     def step(fs: FlatScene, it, state: RayState) -> RayState:
         R = state.orig.shape[0]
         pix, smp = state.pixel_ids, state.sample_ids
         u = lambda purpose: sampling.uniform(pix, smp, it, purpose, cfg.seed)
 
-        h = closest(fs, state.orig, state.dirn)
+        # Park dead lanes outside the scene so they sort into all-dead blocks
+        # and fail every tile gate (their results are alive-masked below).
+        if do_compact:
+            q_orig, q_dirn = sorting.park(
+                state.orig, state.dirn, state.alive, static
+            )
+        else:
+            q_orig, q_dirn = state.orig, state.dirn
+        h = closest(fs, q_orig, q_dirn)
         hit = h.hit & state.alive
         position, n_interp, tangent, uv, mat_id = (
             h.position, h.normal, h.tangent, h.uv, h.mat_id
@@ -187,7 +197,15 @@ def make_integrator(
             d_sun = jax.lax.stop_gradient(d_sun)
             sun_exists = pmath.dot(n_interp, d_sun) > 0.0
             shadow_org = position + d_sun * pmath.EPS
-            shadow_hit = any_hit(fs, shadow_org, d_sun)
+            # Only lanes that are alive with an up-facing sun consume the
+            # occlusion result — park the rest (see the closest-hit park).
+            if do_compact:
+                s_org, s_dir = sorting.park(
+                    shadow_org, d_sun, alive & sun_exists, static
+                )
+            else:
+                s_org, s_dir = shadow_org, d_sun
+            shadow_hit = any_hit(fs, s_org, s_dir)
         else:
             d_sun = jnp.zeros_like(state.dirn)
             sun_exists = jnp.zeros((R,), bool)

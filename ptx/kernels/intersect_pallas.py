@@ -1,27 +1,37 @@
 """Pallas TPU intersection kernels.
 
 The reference's innermost hot loop is the per-leaf triangle sweep
-(``geometry/triangle.cpp:120-190`` driven by ``mesh.cpp:376-401``).  On TPU
-the equivalent "speed-of-light" shape is a fused [ray-block x tri-tile]
-Moller-Trumbore sweep living entirely in VMEM:
+(``geometry/triangle.cpp:120-190`` driven by the KD-tree walk at
+``mesh.cpp:300-401``).  The TPU-native equivalent is a *block traversal*:
 
-* grid = (R/RB, N/TT): ray blocks stay resident while triangle tiles stream
-  HBM -> VMEM (Pallas double-buffers the tile fetches automatically),
-* the [RB, TT] intersection matrix never touches HBM — the pure-XLA brute
-  backend materializes it (hundreds of MB at wavefront sizes), which is why
-  it is HBM-bound; here it exists only as VPU registers/VMEM scratch,
-* the running (min distance, argmin index) is carried in the output block
-  across triangle tiles — the cross-tile reduce analog of the reference's
-  per-UUID min map (``intersection_worker.cpp:78-110``).
+1. Triangles are BVH-ordered (``ptx.accel``), so a TT-wide tile of
+   consecutive triangles is spatially local and has a tight AABB
+   (``pack_tris``).
+2. An XLA pre-pass (``_plan_tiles``) slab-tests every ray against every tile
+   box, reduces to per-[ray-block x tile] gates, and sorts each block's
+   surviving tiles front-to-back by entry distance.  This is the per-ray
+   KD/BVH walk hoisted to block granularity, where the TPU can do it as one
+   dense [R, T] vector op instead of a divergent per-lane tree walk.
+3. The Pallas kernel consumes the plan via *scalar prefetch*: the triangle
+   BlockSpec's index map reads the next tile id for this ray block from
+   SMEM, so only gated tiles are ever DMA'd HBM->VMEM (skipped steps repeat
+   the previous index and cost no copy); a block-level early-exit
+   (this tile's min entry >= the block's worst best-hit) reproduces the
+   reference's front-to-back ``dist <= max_dist`` pruning
+   (``mesh.cpp:336-369``).
+4. Inside a visited tile, a fused [RB x TT] Moller-Trumbore matrix lives
+   entirely in VMEM/registers; the running (min distance, argmin triangle)
+   is carried in the output block across tiles — the cross-tile analog of
+   the reference's per-UUID min map (``intersection_worker.cpp:78-110``).
 
-The kernel returns (t, winning triangle index); barycentrics are recomputed
-for the single winning triangle outside the kernel (one MT evaluation per
-ray — cheaper than gathering them across lanes inside).
+Rays ride the *sublane* axis (RB rows), triangles the *lane* axis (TT
+columns); per-component broadcasts are [RB,1] x [1,TT] fused multiply-adds
+on the VPU.  Barycentrics are recomputed for the single winning triangle
+outside the kernel (one MT evaluation per ray — cheaper than gathering them
+across lanes inside).
 
-Layout: rays ride the *sublane* axis (RB = 256 rows), triangles the *lane*
-axis (TT = 512 columns); per-component broadcasts are [RB,1] x [1,TT] fused
-multiply-adds on the VPU.  Triangle SoA is packed as a [16, N] matrix (rows
-0-8 = a, e1, e2 components; 16 for sublane alignment).
+Block coherence (and therefore culling quality) is the caller's job: see
+``ptx.kernels.sorting`` (per-bounce morton sort + dead-ray parking).
 """
 
 from __future__ import annotations
@@ -85,85 +95,6 @@ def _mt_matrix(rays, tris):
     return jnp.where(ok, t, INF)
 
 
-def _tile_gate(rays, boxes_ref, j, best_t):
-    """Block-wide tile cull: can ANY lane's ray hit this tile's AABB closer
-    than its current best?  Triangles are BVH-ordered (see pack_tris), so a
-    512-triangle tile is spatially local and the gate skips most tiles for
-    most ray blocks — packet traversal without per-lane divergence."""
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    bx0, by0, bz0 = boxes_ref[j, 0], boxes_ref[j, 1], boxes_ref[j, 2]
-    bx1, by1, bz1 = boxes_ref[j, 3], boxes_ref[j, 4], boxes_ref[j, 5]
-
-    def slab(o, d, lo, hi):
-        inv = 1.0 / d
-        t0 = (lo - o) * inv
-        t1 = (hi - o) * inv
-        lo_t = jnp.minimum(t0, t1)
-        hi_t = jnp.maximum(t0, t1)
-        lo_t = jnp.where(jnp.isnan(lo_t), -jnp.inf, lo_t)
-        hi_t = jnp.where(jnp.isnan(hi_t), jnp.inf, hi_t)
-        return lo_t, hi_t
-
-    lx, hx = slab(ox, dx, bx0, bx1)
-    ly, hy = slab(oy, dy, by0, by1)
-    lz, hz = slab(oz, dz, bz0, bz1)
-    near = jnp.maximum(jnp.maximum(lx, ly), lz)
-    far = jnp.minimum(jnp.minimum(hx, hy), hz)
-    hit = (far >= jnp.maximum(near, 0.0)) & (near < best_t)
-    return jnp.any(hit)
-
-
-def _closest_kernel(rays_ref, tris_ref, box_ref, t_ref, idx_ref):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        t_ref[:] = jnp.full_like(t_ref, INF)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
-
-    @pl.when(_tile_gate(rays_ref[:], box_ref, j, t_ref[:]))
-    def _test():
-        t = _mt_matrix(rays_ref[:], tris_ref[:])  # [RB, TT]
-        tmin = jnp.min(t, axis=1, keepdims=True)  # [RB, 1]
-        arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-        closer = tmin < t_ref[:]
-        t_ref[:] = jnp.where(closer, tmin, t_ref[:])
-        idx_ref[:] = jnp.where(closer, j * TT + arg, idx_ref[:])
-
-
-def _any_kernel(rays_ref, tris_ref, box_ref, hit_ref):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        hit_ref[:] = jnp.zeros_like(hit_ref)
-
-    not_done = jnp.any(hit_ref[:] == 0)
-    gate = _tile_gate(
-        rays_ref[:], box_ref, j,
-        jnp.where(hit_ref[:] > 0, -INF, INF),  # settled lanes never gate in
-    )
-
-    @pl.when(not_done & gate)
-    def _test():
-        t = _mt_matrix(rays_ref[:], tris_ref[:])
-        any_hit = jnp.any(t < INF, axis=1, keepdims=True)
-        hit_ref[:] = hit_ref[:] | any_hit.astype(jnp.int32)
-
-
-def _pack_rays(orig, dirn):
-    r = orig.shape[0]
-    r_pad = -(-r // RB) * RB
-    rays = jnp.zeros((r_pad, 8), jnp.float32)
-    rays = rays.at[:r, 0:3].set(orig)
-    rays = rays.at[:r, 3:6].set(dirn)
-    # Padding rays get a unit direction so no NaNs flow through the kernel.
-    if r_pad > r:
-        rays = rays.at[r:, 3].set(1.0)
-    return rays, r_pad
-
-
 def pack_tris(fs: FlatScene):
     """[16, N'] triangle component matrix + [n_tiles, 8] tile AABBs,
     N' padded to the tile size.  Zero columns are degenerate (det = 0 ->
@@ -198,31 +129,167 @@ def pack_tris(fs: FlatScene):
     return tris, boxes
 
 
+def _plan_tiles(rays, boxes):
+    """The block-traversal plan (pure XLA, one dense pass).
+
+    For every [RB ray block x triangle tile]: does any ray in the block
+    enter the tile's AABB, and at what minimum entry distance?  Returns
+
+    * ``order`` [B, T] i32 — tile ids per block, front-to-back by block-min
+      entry distance; slots past ``count`` repeat the last gated tile (the
+      kernel skips them without a fresh DMA),
+    * ``count`` [B] i32 — gated tiles per block,
+    * ``near``  [B, T_pad] f32 — entry distance in ``order`` order (INF past
+      ``count``), lane-padded for the kernel's VMEM row.
+    """
+    r_pad = rays.shape[0]
+    n_tiles = boxes.shape[0]
+    nb = r_pad // RB
+    o = rays[:, 0:3].reshape(nb, RB, 1, 3)
+    inv_d = 1.0 / rays[:, 3:6].reshape(nb, RB, 1, 3)
+    lo = boxes[None, None, :, 0:3]
+    hi = boxes[None, None, :, 3:6]
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tl = jnp.minimum(t0, t1)
+    th = jnp.maximum(t0, t1)
+    tl = jnp.where(jnp.isnan(tl), -jnp.inf, tl)
+    th = jnp.where(jnp.isnan(th), jnp.inf, th)
+    near = jnp.max(tl, axis=-1)  # [B, RB, T]
+    far = jnp.min(th, axis=-1)
+    enter = jnp.maximum(near, 0.0)
+    hit = far >= enter
+    near_blk = jnp.min(jnp.where(hit, enter, INF), axis=1)  # [B, T]
+    gated = jnp.any(hit, axis=1)  # [B, T]
+
+    count = jnp.sum(gated, axis=1).astype(jnp.int32)  # [B]
+    key = jnp.where(gated, near_blk, INF)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # [B, T]
+    near_sorted = jnp.take_along_axis(key, order, axis=1)
+    # Past-count slots: repeat the last gated tile id (no-op steps reuse the
+    # resident tile; all-parked blocks repeat tile 0).
+    slot = jnp.arange(n_tiles, dtype=jnp.int32)[None, :]
+    last = jnp.maximum(count - 1, 0)[:, None]
+    last_tile = jnp.take_along_axis(order, last, axis=1)
+    order = jnp.where(slot < count[:, None], order, last_tile)
+
+    t_lanes = -(-n_tiles // 128) * 128
+    # Sublane-pad to (nb, 8, L): TPU blocks need 8-divisible sublanes.
+    near_pad = jnp.full((nb, 8, t_lanes), INF, jnp.float32)
+    near_pad = near_pad.at[:, 0, :n_tiles].set(near_sorted)
+    return order, count, near_pad
+
+
+def _lane_pick(row, j):
+    """Extract lane ``j`` of a [1, L] row as a scalar (masked max)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.max(jnp.where(lanes == j, row, -INF))
+
+
+def _closest_kernel(order_ref, count_ref, rays_ref, near_ref, tris_ref,
+                    t_ref, idx_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[:] = jnp.full_like(t_ref, INF)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    # Nested so skipped steps (j past this block's tile count) cost only a
+    # scalar compare — the vector work below never issues.
+    @pl.when(j < count_ref[i])
+    def _gated():
+        near_j = _lane_pick(near_ref[0, 0:1, :], j)
+        # Front-to-back early exit: this (and every later) tile can't beat
+        # any lane's current best once its min entry >= the block-max best.
+        @pl.when(near_j < jnp.max(t_ref[:]))
+        def _test():
+            t = _mt_matrix(rays_ref[:], tris_ref[:])  # [RB, TT]
+            tmin = jnp.min(t, axis=1, keepdims=True)  # [RB, 1]
+            arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+            closer = tmin < t_ref[:]
+            tile = order_ref[i, j]
+            t_ref[:] = jnp.where(closer, tmin, t_ref[:])
+            idx_ref[:] = jnp.where(closer, tile * TT + arg, idx_ref[:])
+
+
+def _any_kernel(order_ref, count_ref, rays_ref, near_ref, tris_ref, hit_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        hit_ref[:] = jnp.zeros_like(hit_ref)
+
+    @pl.when(j < count_ref[i])
+    def _gated():
+        @pl.when(jnp.any(hit_ref[:] == 0))
+        def _test():
+            t = _mt_matrix(rays_ref[:], tris_ref[:])
+            any_hit = jnp.any(t < INF, axis=1, keepdims=True)
+            hit_ref[:] = hit_ref[:] | any_hit.astype(jnp.int32)
+
+
+def _pack_rays(orig, dirn):
+    r = orig.shape[0]
+    r_pad = -(-r // RB) * RB
+    rays = jnp.zeros((r_pad, 8), jnp.float32)
+    rays = rays.at[:r, 0:3].set(orig)
+    rays = rays.at[:r, 3:6].set(dirn)
+    # Padding rays get a unit direction so no NaNs flow through the kernel.
+    if r_pad > r:
+        rays = rays.at[r:, 3].set(1.0)
+    return rays, r_pad
+
+
 def _grid_call(kernel, rays, tris, boxes, out_shapes, interpret):
     r_pad = rays.shape[0]
     n_pad = tris.shape[1]
-    grid = (r_pad // RB, n_pad // TT)
-    return pl.pallas_call(
-        kernel,
+    n_tiles = n_pad // TT
+    nb = r_pad // RB
+    if n_tiles == 1:
+        # Single-tile scene: nothing to cull or order — skip the plan.
+        order = jnp.zeros((nb, 1), jnp.int32)
+        count = jnp.ones((nb,), jnp.int32)
+        near = jnp.full((nb, 8, 128), -INF, jnp.float32)
+    else:
+        order, count, near = _plan_tiles(rays, boxes)
+    grid = (nb, n_tiles)
+    one = len(out_shapes) == 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # order, count
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RB, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, TT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # all tile boxes resident
+            pl.BlockSpec((RB, 8), lambda i, j, od, ct: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, near.shape[2]), lambda i, j, od, ct: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # The traversal: tile j of ray-block i is whatever the plan says.
+            pl.BlockSpec((16, TT), lambda i, j, od, ct: (0, od[i, j]),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(
-            pl.BlockSpec((RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-            for _ in out_shapes
-        )
-        if len(out_shapes) > 1
-        else pl.BlockSpec((RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
+        out_specs=(
+            pl.BlockSpec((RB, 1), lambda i, j, od, ct: (i, 0),
+                         memory_space=pltpu.VMEM)
+            if one
+            else tuple(
+                pl.BlockSpec((RB, 1), lambda i, j, od, ct: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in out_shapes
+            )
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes[0] if one else tuple(out_shapes),
         interpret=interpret,
-    )(rays, tris, boxes)
+    )(order, count, rays, near, tris)
 
 
 def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
-    """Closest-hit via the Pallas sweep; returns the Hit attribute payload."""
+    """Closest-hit via the Pallas block traversal; returns the Hit payload."""
     from ptx.kernels.intersect import attrs_from_indices
 
     r = orig.shape[0]

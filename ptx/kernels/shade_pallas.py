@@ -520,10 +520,22 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
     max_iters = cfg.bounces + extra
     shade_kernel = _make_shade_kernel(static, cfg)
 
+    from ptx.kernels import sorting
+
+    do_compact = sorting.should_compact(static)
+
     def step(fs, it, state: RayState) -> RayState:
         r = state.orig.shape[0]
         n_rows = r // LANES
-        h = closest(fs, state.orig, state.dirn)
+        # Park dead lanes (sort into all-dead blocks, fail every tile gate);
+        # results for those lanes are alive-masked inside the shade kernel.
+        if do_compact:
+            q_orig, q_dirn = sorting.park(
+                state.orig, state.dirn, state.alive, static
+            )
+        else:
+            q_orig, q_dirn = state.orig, state.dirn
+        h = closest(fs, q_orig, q_dirn)
         mat = textures.material_lookup(fs, h.mat_id, h.uv)
         env = _env_radiance(fs, static, cfg, state.dirn)
 
@@ -542,7 +554,16 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
             shadow_dir = jnp.stack(
                 [sdx.reshape(r), sdy.reshape(r), sdz.reshape(r)], axis=-1
             )
-            shadow_hit = any_hit(fs, shadow_org, shadow_dir).astype(jnp.int32)
+            # Occlusion only matters where the lane is alive with a hit and
+            # an up-facing sun (`exists` already folds alive in).
+            if do_compact:
+                s_org, s_dir = sorting.park(
+                    shadow_org, shadow_dir,
+                    (exists.reshape(r) > 0) & h.hit, static,
+                )
+            else:
+                s_org, s_dir = shadow_org, shadow_dir
+            shadow_hit = any_hit(fs, s_org, s_dir).astype(jnp.int32)
             shadow_hit_p = _plane(shadow_hit)
             exists_p = exists
         else:

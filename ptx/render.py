@@ -68,18 +68,36 @@ def get_backend(static: SceneStatic, cfg: RenderConfig):
     """Resolve the intersection backend pair (closest, any_hit)."""
     name = resolve_intersector(static, cfg)
     if name == "brute":
-        return intersect_mod.make_brute()
-    if name == "bvh":
+        pair = intersect_mod.make_brute()
+    elif name == "bvh":
         from ptx.accel import traverse as bvh_traverse
 
         if static.n_bvh_nodes == 0:
             raise ValueError("bvh backend requires ensure_accel() first")
-        return bvh_traverse.make_backend(static.bvh_leaf_size)
-    if name == "pallas":
+        pair = bvh_traverse.make_backend(static.bvh_leaf_size)
+    elif name == "pallas":
         from ptx.kernels import intersect_pallas
 
-        return intersect_pallas.make_backend(static)
-    raise ValueError(f"unknown intersector {name!r}")
+        pair = intersect_pallas.make_backend(static)
+    else:
+        raise ValueError(f"unknown intersector {name!r}")
+    if resolve_sort(static, cfg, name):
+        from ptx.kernels import sorting
+
+        pair = sorting.make_sorting_backend(*pair, static)
+    return pair
+
+
+def resolve_sort(static: SceneStatic, cfg: RenderConfig, name: str) -> bool:
+    """Per-bounce ray sorting pays for itself once the Pallas sweep spans
+    several triangle tiles (coherent blocks -> tile gates cull again)."""
+    if cfg.sort_rays == "on":
+        return True
+    if cfg.sort_rays == "off":
+        return False
+    from ptx.kernels.intersect_pallas import TT
+
+    return name == "pallas" and static.n_tris_padded > 4 * TT
 
 
 def resolve_intersector(static: SceneStatic, cfg: RenderConfig) -> str:

@@ -111,6 +111,11 @@ class SceneStatic:
     has_translucent: bool = True  # any material can pass rays through
     n_bvh_nodes: int = 0  # 0 = no BVH attached
     bvh_leaf_size: int = 8
+    # World-space scene bounds over valid triangles (ray-sorting morton grid
+    # + dead-ray parking). Stored as plain tuples so SceneStatic stays
+    # hashable / jit-closure-safe.
+    aabb_lo: tuple = (0.0, 0.0, 0.0)
+    aabb_hi: tuple = (1.0, 1.0, 1.0)
 
 
 def flatten(
@@ -318,6 +323,15 @@ def flatten(
     has_translucent = any(
         mm.opacity < 1.0 - 1e-4 or mm.opacity_tex >= 0 for mm in mats
     )
+    if n:
+        a = flat["tri_a"][:n]
+        b = a + flat["tri_e1"][:n]
+        c = a + flat["tri_e2"][:n]
+        lo = np.minimum(np.minimum(a, b), c).min(axis=0)
+        hi = np.maximum(np.maximum(a, b), c).max(axis=0)
+    else:
+        lo = np.zeros(3, np.float32)
+        hi = np.ones(3, np.float32)
     static = SceneStatic(
         n_tris=n,
         n_tris_padded=n_padded,
@@ -326,6 +340,8 @@ def flatten(
         has_textures=len(used_images) > 0,
         env_tex=env_tex,
         has_translucent=has_translucent,
+        aabb_lo=tuple(float(v) for v in lo),
+        aabb_hi=tuple(float(v) for v in hi),
     )
     return fs, static
 
