@@ -48,7 +48,7 @@ from ptx import geometry
 from ptx import math as pmath
 from ptx.scene.flatten import FlatScene, SceneStatic
 
-RB = 256  # rays per block (sublanes)
+RB = 128  # rays per block (sublanes; 128 beat 256/64 on the jack sweep)
 TT = 512  # triangles per tile (lanes)
 INF = 3.0e38  # python float: jnp constants can't be captured inside kernels
 EPS = float(pmath.EPS)
@@ -96,10 +96,11 @@ def _mt_matrix(rays, tris):
 
 
 def pack_tris(fs: FlatScene):
-    """[16, N'] triangle component matrix + [n_tiles, 8] tile AABBs,
-    N' padded to the tile size.  Zero columns are degenerate (det = 0 ->
-    INF) and never hit; padding-tile boxes are empty (min > max) and never
-    pass the gate.
+    """[n_tiles, 16, TT] tile-major triangle component stack (each tile one
+    contiguous 32 KB DMA unit; rows 0-8 = a, e1, e2 components, 16 rows for
+    sublane alignment) + [n_tiles, 8] tile AABBs.  Zero columns are
+    degenerate (det = 0 -> INF) and never hit; padding-tile boxes are empty
+    (min > max) and never pass the gate.
 
     Expecting BVH-ordered triangles (ptx.accel.build_bvh) for tight tile
     boxes; unordered input stays correct, just culls less.
@@ -126,7 +127,8 @@ def pack_tris(fs: FlatScene):
     boxes = jnp.zeros((n_tiles, 8), jnp.float32)
     boxes = boxes.at[:, 0:3].set(lo)
     boxes = boxes.at[:, 3:6].set(hi)
-    return tris, boxes
+    tiles = tris.reshape(16, n_tiles, TT).transpose(1, 0, 2)
+    return tiles, boxes
 
 
 def _plan_tiles(rays, boxes):
@@ -173,62 +175,103 @@ def _plan_tiles(rays, boxes):
     last_tile = jnp.take_along_axis(order, last, axis=1)
     order = jnp.where(slot < count[:, None], order, last_tile)
 
-    t_lanes = -(-n_tiles // 128) * 128
-    # Sublane-pad to (nb, 8, L): TPU blocks need 8-divisible sublanes.
-    near_pad = jnp.full((nb, 8, t_lanes), INF, jnp.float32)
-    near_pad = near_pad.at[:, 0, :n_tiles].set(near_sorted)
+    # One extra slot: the kernel's continue test reads near[count] when it
+    # runs out of tiles (the value is ignored, but the read must be in
+    # bounds).
+    near_pad = jnp.full((nb, n_tiles + 1), INF, jnp.float32)
+    near_pad = near_pad.at[:, :n_tiles].set(near_sorted)
     return order, count, near_pad
 
 
-def _lane_pick(row, j):
-    """Extract lane ``j`` of a [1, L] row as a scalar (masked max)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    return jnp.max(jnp.where(lanes == j, row, -INF))
+def _tile_dma(tris_ref, order_ref, buf, sem, k, slot):
+    """Async copy of the plan's ``k``-th tile for this block into VMEM slot
+    ``slot``.  The same descriptor reconstructs for ``.wait()``."""
+    return pltpu.make_async_copy(
+        tris_ref.at[order_ref[0, 0, k]], buf.at[slot], sem.at[slot]
+    )
 
 
-def _closest_kernel(order_ref, count_ref, rays_ref, near_ref, tris_ref,
-                    t_ref, idx_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
+                    t_ref, idx_ref, buf, sem):
+    t_ref[:] = jnp.full_like(t_ref, INF)
+    idx_ref[:] = jnp.zeros_like(idx_ref)
+    cnt = count_ref[0, 0, 0]
 
-    @pl.when(j == 0)
-    def _init():
-        t_ref[:] = jnp.full_like(t_ref, INF)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
+    @pl.when(cnt > 0)
+    def _run():
+        _tile_dma(tris_ref, order_ref, buf, sem, 0, 0).start()
 
-    # Nested so skipped steps (j past this block's tile count) cost only a
-    # scalar compare — the vector work below never issues.
-    @pl.when(j < count_ref[i])
-    def _gated():
-        near_j = _lane_pick(near_ref[0, 0:1, :], j)
-        # Front-to-back early exit: this (and every later) tile can't beat
-        # any lane's current best once its min entry >= the block-max best.
-        @pl.when(near_j < jnp.max(t_ref[:]))
-        def _test():
-            t = _mt_matrix(rays_ref[:], tris_ref[:])  # [RB, TT]
+        def body(carry):
+            k, _ = carry
+            slot = jax.lax.rem(k, 2)
+            nk = k + 1
+            more = nk < cnt
+
+            # Speculatively stream the next tile while we grind this one.
+            @pl.when(more)
+            def _issue():
+                _tile_dma(tris_ref, order_ref, buf, sem, nk,
+                          jax.lax.rem(nk, 2)).start()
+
+            _tile_dma(tris_ref, order_ref, buf, sem, k, slot).wait()
+            t = _mt_matrix(rays_ref[:], buf[slot])  # [RB, TT]
             tmin = jnp.min(t, axis=1, keepdims=True)  # [RB, 1]
             arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
             closer = tmin < t_ref[:]
-            tile = order_ref[i, j]
+            tile = order_ref[0, 0, k]
             t_ref[:] = jnp.where(closer, tmin, t_ref[:])
             idx_ref[:] = jnp.where(closer, tile * TT + arg, idx_ref[:])
+            # Front-to-back early exit: no later tile can beat any lane's
+            # best once its min entry >= the block-max best.
+            cont = more & (near_ref[0, 0, nk] < jnp.max(t_ref[:]))
+            return nk, cont
+
+        k_fin, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (jnp.int32(0), jnp.bool_(True))
+        )
+
+        # An early exit leaves the speculative copy for k_fin in flight.
+        @pl.when(k_fin < cnt)
+        def _drain():
+            _tile_dma(tris_ref, order_ref, buf, sem, k_fin,
+                      jax.lax.rem(k_fin, 2)).wait()
 
 
-def _any_kernel(order_ref, count_ref, rays_ref, near_ref, tris_ref, hit_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _any_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
+                hit_ref, buf, sem):
+    hit_ref[:] = jnp.zeros_like(hit_ref)
+    cnt = count_ref[0, 0, 0]
 
-    @pl.when(j == 0)
-    def _init():
-        hit_ref[:] = jnp.zeros_like(hit_ref)
+    @pl.when(cnt > 0)
+    def _run():
+        _tile_dma(tris_ref, order_ref, buf, sem, 0, 0).start()
 
-    @pl.when(j < count_ref[i])
-    def _gated():
-        @pl.when(jnp.any(hit_ref[:] == 0))
-        def _test():
-            t = _mt_matrix(rays_ref[:], tris_ref[:])
+        def body(carry):
+            k, _ = carry
+            slot = jax.lax.rem(k, 2)
+            nk = k + 1
+            more = nk < cnt
+
+            @pl.when(more)
+            def _issue():
+                _tile_dma(tris_ref, order_ref, buf, sem, nk,
+                          jax.lax.rem(nk, 2)).start()
+
+            _tile_dma(tris_ref, order_ref, buf, sem, k, slot).wait()
+            t = _mt_matrix(rays_ref[:], buf[slot])
             any_hit = jnp.any(t < INF, axis=1, keepdims=True)
             hit_ref[:] = hit_ref[:] | any_hit.astype(jnp.int32)
+            cont = more & jnp.any(hit_ref[:] == 0)
+            return nk, cont
+
+        k_fin, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (jnp.int32(0), jnp.bool_(True))
+        )
+
+        @pl.when(k_fin < cnt)
+        def _drain():
+            _tile_dma(tris_ref, order_ref, buf, sem, k_fin,
+                      jax.lax.rem(k_fin, 2)).wait()
 
 
 def _pack_rays(orig, dirn):
@@ -245,47 +288,45 @@ def _pack_rays(orig, dirn):
 
 def _grid_call(kernel, rays, tris, boxes, out_shapes, interpret):
     r_pad = rays.shape[0]
-    n_pad = tris.shape[1]
-    n_tiles = n_pad // TT
+    n_tiles = tris.shape[0]
     nb = r_pad // RB
     if n_tiles == 1:
         # Single-tile scene: nothing to cull or order — skip the plan.
         order = jnp.zeros((nb, 1), jnp.int32)
         count = jnp.ones((nb,), jnp.int32)
-        near = jnp.full((nb, 8, 128), -INF, jnp.float32)
+        near = jnp.full((nb, 2), -INF, jnp.float32)
     else:
         order, count, near = _plan_tiles(rays, boxes)
-    grid = (nb, n_tiles)
     one = len(out_shapes) == 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # order, count
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((RB, 8), lambda i, j, od, ct: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, near.shape[2]), lambda i, j, od, ct: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # The traversal: tile j of ray-block i is whatever the plan says.
-            pl.BlockSpec((16, TT), lambda i, j, od, ct: (0, od[i, j]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((RB, 1), lambda i, j, od, ct: (i, 0),
-                         memory_space=pltpu.VMEM)
-            if one
-            else tuple(
-                pl.BlockSpec((RB, 1), lambda i, j, od, ct: (i, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in out_shapes
-            )
-        ),
-    )
+    out_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    # Plan rows ride as [nb, 1, L] so the per-block (1, 1, L) SMEM block
+    # trivially satisfies the trailing-dims tiling rule.
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(nb,),
+        in_specs=[
+            # Per-block traversal plan rows live in SMEM (scalar reads drive
+            # the in-kernel DMA loop).
+            pl.BlockSpec((1, 1, order.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, near.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # The whole tile stack stays in HBM; the kernel streams only the
+            # tiles its plan names (double-buffered async copies).
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_spec if one else tuple(out_spec for _ in out_shapes),
         out_shape=out_shapes[0] if one else tuple(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, TT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(order, count, rays, near, tris)
+    )(order[:, None, :], count[:, None, None], near[:, None, :], rays, tris)
 
 
 def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
