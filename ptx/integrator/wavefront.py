@@ -104,12 +104,80 @@ def _brdf_and_pdfs(normal, outcoming, incoming, albedo, metallic, roughness):
     return brdf, diffuse_pdf, specular_pdf
 
 
+# Lanes per compaction chunk: one chunk = 64 intersection blocks — small
+# enough that a nearly-dead wavefront costs ~1/8 of a full-width pass, big
+# enough that the Pallas launches stay efficient.
+CHUNK = 8192
+
+
+def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
+                     static: SceneStatic):
+    """Forward bounce loop with survivor compaction.
+
+    Each iteration sorts the wavefront dead-last (fused with the morton
+    coherence key, ``ptx.kernels.sorting``) and pushes only the first
+    ceil(live / CHUNK) chunks through the step — the TPU-shaped version of
+    the reference's queues simply not containing dead rays.  Exact: the
+    counter-based RNG is keyed by (pixel, sample, bounce), so lane
+    permutation cannot change any sample, and untouched chunks hold only
+    dead lanes whose state is final.
+    """
+    R = state.orig.shape[0]
+    chunk = CHUNK if (R % CHUNK == 0) else R
+    n_chunks = R // chunk
+    slot0 = jnp.arange(R, dtype=jnp.int32)
+    dead_key = jnp.int32(1 << 30)
+
+    def outer_cond(carry):
+        it, s, _ = carry
+        return (it < max_iters) & jnp.any(s.alive)
+
+    def outer_body(carry):
+        it, s, slot = carry
+        key = sorting.ray_keys(s.orig, s.dirn, static.aabb_lo, static.aabb_hi)
+        perm = jnp.argsort(jnp.where(s.alive, key, dead_key))
+        s = jax.tree.map(lambda x: x[perm], s)
+        slot = slot[perm]
+        live = jnp.sum(s.alive.astype(jnp.int32))
+        n_live = jnp.minimum((live + chunk - 1) // chunk, n_chunks)
+
+        def chunk_body(cc):
+            ci, st = cc
+            off = ci * chunk
+            sub = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, off, chunk, axis=0),
+                st,
+            )
+            sub = step_fn(fs, it, sub)
+            st = jax.tree.map(
+                lambda x, y: jax.lax.dynamic_update_slice_in_dim(
+                    x, y, off, axis=0
+                ),
+                st, sub,
+            )
+            return ci + 1, st
+
+        _, s = jax.lax.while_loop(
+            lambda cc: cc[0] < n_live, chunk_body, (jnp.int32(0), s)
+        )
+        return it + 1, s, slot
+
+    _, state, slot = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), state, slot0)
+    )
+    # Undo the accumulated permutation for the two outputs the caller reads.
+    radiance = jnp.zeros_like(state.radiance).at[slot].set(state.radiance)
+    alpha = jnp.zeros_like(state.alpha).at[slot].set(state.alpha)
+    return radiance, alpha
+
+
 def make_integrator(
     static: SceneStatic,
     cfg: RenderConfig,
     closest: Callable,
     any_hit: Callable,
     differentiable: bool = False,
+    chunked: bool = True,
 ):
     """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
     (radiance [R,3], alpha [R])``.
@@ -350,6 +418,9 @@ def make_integrator(
             state, _ = jax.lax.scan(
                 body, state, jnp.arange(max_iters, dtype=jnp.int32)
             )
+        elif chunked and do_compact:
+            # Survivor-compacted loop (sorted dead-last, live chunks only).
+            return _chunked_forward(step, fs, state, max_iters, static)
         else:
             # Forward-only: while_loop exits as soon as every lane is dead
             # (the terminator thread's `completed == X*Y*samples` spin,

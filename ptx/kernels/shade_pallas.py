@@ -635,6 +635,8 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
         )
 
     def integrate(fs, pixel_ids, sample_ids):
+        from ptx.integrator.wavefront import _chunked_forward
+
         r = pixel_ids.shape[0]
         if r % LANES:
             raise ValueError(f"ray count {r} must be a multiple of {LANES}")
@@ -650,6 +652,9 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
             pixel_ids=pixel_ids.astype(jnp.int32),
             sample_ids=sample_ids.astype(jnp.int32),
         )
+
+        if do_compact:
+            return _chunked_forward(step, fs, state, max_iters, static)
 
         def cond(carry):
             it, s = carry

@@ -190,7 +190,10 @@ def make_distributed_sample_fn(
         any_hit = sharded_any_hit(base_any)
     else:
         closest, any_hit = base_closest, base_any
-    integrator = make_integrator(static, cfg, closest, any_hit)
+    # chunked=False: the compaction loop's trip count is data-dependent, and
+    # per-chip divergence around the collectives in the sharded closures
+    # would deadlock the mesh (every chip must issue the same psum sequence).
+    integrator = make_integrator(static, cfg, closest, any_hit, chunked=False)
 
     n_pixels = cfg.width * cfg.height
     ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)

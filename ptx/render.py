@@ -64,8 +64,12 @@ def to_device(fs: FlatScene) -> FlatScene:
     return jax.tree.map(jnp.asarray, fs)
 
 
-def get_backend(static: SceneStatic, cfg: RenderConfig):
-    """Resolve the intersection backend pair (closest, any_hit)."""
+def get_backend(static: SceneStatic, cfg: RenderConfig, sort=None):
+    """Resolve the intersection backend pair (closest, any_hit).
+
+    ``sort=None`` resolves the per-call sorting wrapper from the config;
+    pass False when the caller already keeps the wavefront sorted (the
+    chunked forward integrator does its own dead-last morton sort)."""
     name = resolve_intersector(static, cfg)
     if name == "brute":
         pair = intersect_mod.make_brute()
@@ -81,7 +85,7 @@ def get_backend(static: SceneStatic, cfg: RenderConfig):
         pair = intersect_pallas.make_backend(static)
     else:
         raise ValueError(f"unknown intersector {name!r}")
-    if resolve_sort(static, cfg, name):
+    if resolve_sort(static, cfg, name) if sort is None else sort:
         from ptx.kernels import sorting
 
         pair = sorting.make_sorting_backend(*pair, static)
@@ -135,7 +139,14 @@ def resolve_shader(cfg: RenderConfig) -> str:
 
 
 def make_integrator_for(static: SceneStatic, cfg: RenderConfig):
-    closest, any_hit = get_backend(static, cfg)
+    from ptx.kernels import sorting
+
+    # The chunked forward loop keeps the wavefront sorted itself — skip the
+    # per-call backend sorting wrapper then.
+    chunk_active = sorting.should_compact(static)
+    closest, any_hit = get_backend(
+        static, cfg, sort=False if chunk_active else None
+    )
     if resolve_shader(cfg) == "pallas":
         from ptx.kernels.shade_pallas import make_pallas_integrator
 
