@@ -108,7 +108,8 @@ def resolve_intersector(static: SceneStatic, cfg: RenderConfig) -> str:
     name = cfg.intersector
     if name == "auto":
         if jax.default_backend() == "tpu":
-            # The tile-culled Pallas sweep wins across scene sizes on TPU.
+            # The planned Pallas block traversal wins across scene sizes on
+            # TPU.
             name = "pallas"
         else:
             name = "brute" if static.n_tris_padded <= 65536 else "bvh"
