@@ -39,6 +39,21 @@ class Quirks:
     # Honour KHR_materials_emissive_strength (the reference ignores it and
     # compensates with emissive_scale=10; enabling both double-counts).
     use_emissive_strength: bool = False
+    # The reference ships TWO indirect-light clamping conventions:
+    # the wavefront worker clamps accumulated throughput to
+    # ``throughput_clamp`` (shading_worker.cpp:173-175, the default here),
+    # while the monolithic renderer clamps every level's contribution to its
+    # incoming radiance — ``indirect_out = clamp(brdf*in/pdf, 0, in)``
+    # (renderer.cpp:616-620), which equals clamping the per-bounce
+    # throughput *factor* to 1. Set True for monolithic parity.
+    indirect_clamp_to_incoming: bool = False
+
+    @staticmethod
+    def monolithic() -> "Quirks":
+        """Semantics of the monolithic renderer (core/renderer.cpp trace()):
+        per-level out<=in clamping, and no Russian roulette (trace() always
+        recurses to the full bounce depth)."""
+        return Quirks(indirect_clamp_to_incoming=True, rr_after_bounces=255)
 
     @staticmethod
     def physical() -> "Quirks":

@@ -337,8 +337,16 @@ def make_integrator(
             n_shade, outcoming, d_new, mat["albedo"], mat["metallic"], roughness
         )
         pdf = pmath.lerp(diffuse_pdf, specular_pdf, spec_prob)
-        new_throughput = state.throughput * brdf_i / jnp.maximum(pdf, pmath.EPS)[..., None]
-        new_throughput = jnp.clip(new_throughput, 0.0, q.throughput_clamp)
+        factor = brdf_i / jnp.maximum(pdf, pmath.EPS)[..., None]
+        if q.indirect_clamp_to_incoming:
+            # Monolithic-renderer convention: out <= in per level
+            # (renderer.cpp:616-620) == per-bounce factor clamped to 1.
+            new_throughput = state.throughput * jnp.clip(factor, 0.0, 1.0)
+        else:
+            # Wavefront-worker convention (shading_worker.cpp:173-175).
+            new_throughput = jnp.clip(
+                state.throughput * factor, 0.0, q.throughput_clamp
+            )
 
         # Russian roulette after rr_after_bounces completed bounces
         # (shading_worker.cpp:182-190): survive with p = max component,

@@ -372,10 +372,17 @@ def _make_shade_kernel(static: SceneStatic, cfg: RenderConfig):
         )
         pdf = diffuse_pdf + (specular_pdf - diffuse_pdf) * spec_prob
         inv_pdf = 1.0 / jnp.maximum(pdf, EPS)
-        tc = q.throughput_clamp
-        nthr_r = jnp.clip(thr_r * br * inv_pdf, 0.0, tc)
-        nthr_g = jnp.clip(thr_g * bg * inv_pdf, 0.0, tc)
-        nthr_b = jnp.clip(thr_b * bb * inv_pdf, 0.0, tc)
+        if q.indirect_clamp_to_incoming:
+            # Monolithic convention: per-bounce factor clamped to 1
+            # (renderer.cpp:616-620).
+            nthr_r = thr_r * jnp.clip(br * inv_pdf, 0.0, 1.0)
+            nthr_g = thr_g * jnp.clip(bg * inv_pdf, 0.0, 1.0)
+            nthr_b = thr_b * jnp.clip(bb * inv_pdf, 0.0, 1.0)
+        else:
+            tc = q.throughput_clamp
+            nthr_r = jnp.clip(thr_r * br * inv_pdf, 0.0, tc)
+            nthr_g = jnp.clip(thr_g * bg * inv_pdf, 0.0, tc)
+            nthr_b = jnp.clip(thr_b * bb * inv_pdf, 0.0, tc)
 
         # Russian roulette (shading_worker.cpp:182-190)
         bounce = ins["bounce"][:]
