@@ -57,7 +57,12 @@ def moller_trumbore(orig, dirn, a, e1, e2, eps: float = pmath.EPS):
     """
     pvec = pmath.cross(dirn, e2)
     det = pmath.dot(e1, pvec)
-    inv_det = 1.0 / det  # may be inf for parallel rays; masked below
+    # Guard the divide so reverse-mode AD through degenerate (padding /
+    # exactly-parallel) triangles stays NaN-free; the `ok &= ~degenerate`
+    # below reproduces the unguarded forward outcome exactly (det == 0 used
+    # to give non-finite t, rejected by isfinite).
+    degenerate = det == 0.0
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
     tvec = orig - a
     beta = pmath.dot(tvec, pvec) * inv_det
     qvec = pmath.cross(tvec, e1)
@@ -71,6 +76,7 @@ def moller_trumbore(orig, dirn, a, e1, e2, eps: float = pmath.EPS):
         & (beta + gamma <= 1.0 + eps)
         & (t >= 0.0)
         & jnp.isfinite(t)
+        & ~degenerate
     )
     t = jnp.where(ok, t, INF)
     return t, beta, gamma, ok
