@@ -156,7 +156,7 @@ def flatten(
     def cat(parts, width):
         if parts:
             return np.ascontiguousarray(
-                np.concatenate(parts).astype(np.float32)
+                np.concatenate(parts).astype(np.float32, copy=False)
             ).reshape(-1, width)
         return np.zeros((0, width), np.float32)
 
@@ -230,7 +230,7 @@ def flatten(
         widths.append(w)
         heights.append(h)
         offsets.append(cursor)
-        texel_parts.append(pixels.reshape(-1, 4).astype(np.float32))
+        texel_parts.append(pixels.reshape(-1, 4).astype(np.float32, copy=False))
         cursor += w * h
 
     env_tex = -1
@@ -244,7 +244,7 @@ def flatten(
             env_image = np.concatenate(
                 [env_image, np.ones((*env_image.shape[:2], 1), np.float32)], -1
             )
-        texel_parts.append(env_image.reshape(-1, 4).astype(np.float32))
+        texel_parts.append(env_image.reshape(-1, 4).astype(np.float32, copy=False))
         cursor += w * h
 
     def slot(img_idx, is_normal=False):
