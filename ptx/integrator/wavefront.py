@@ -65,14 +65,28 @@ def compute_hit_attrs(fs: FlatScene, tri, beta, gamma):
     version of ``distributed_scene::intersect``'s attribute block
     (``src/scene/intersect.cpp:112-150``).  Normals/tangents were baked with
     the normal matrix at flatten time; interpolate *then* normalize, matching
-    the reference order."""
+    the reference order.
+
+    Shading attributes come from the packed ``tri_attrs`` row when flatten
+    built it (one [R, 32] gather instead of eleven — TPU gathers are the
+    per-hit bottleneck); values are identical either way."""
     alpha_w = 1.0 - beta - gamma
     w0, w1, w2 = alpha_w[..., None], beta[..., None], gamma[..., None]
     position = fs.tri_a[tri] + fs.tri_e1[tri] * beta[..., None] + fs.tri_e2[tri] * gamma[..., None]
-    normal = pmath.normalize(fs.n0[tri] * w0 + fs.n1[tri] * w1 + fs.n2[tri] * w2)
-    tangent = pmath.normalize(fs.t0[tri] * w0 + fs.t1[tri] * w1 + fs.t2[tri] * w2)
-    uv = fs.uv0[tri] * w0 + fs.uv1[tri] * w1 + fs.uv2[tri] * w2
-    mat_id = fs.mat_id[tri]
+    if fs.tri_attrs.shape[0] == fs.tri_a.shape[0]:
+        at = fs.tri_attrs[tri]  # [R, 32]
+        n0, n1, n2 = at[..., 0:3], at[..., 3:6], at[..., 6:9]
+        t0, t1, t2 = at[..., 9:12], at[..., 12:15], at[..., 15:18]
+        uv0, uv1, uv2 = at[..., 18:20], at[..., 20:22], at[..., 22:24]
+        mat_id = at[..., 24].astype(jnp.int32)
+    else:
+        n0, n1, n2 = fs.n0[tri], fs.n1[tri], fs.n2[tri]
+        t0, t1, t2 = fs.t0[tri], fs.t1[tri], fs.t2[tri]
+        uv0, uv1, uv2 = fs.uv0[tri], fs.uv1[tri], fs.uv2[tri]
+        mat_id = fs.mat_id[tri]
+    normal = pmath.normalize(n0 * w0 + n1 * w1 + n2 * w2)
+    tangent = pmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
+    uv = uv0 * w0 + uv1 * w1 + uv2 * w2
     return position, normal, tangent, uv, mat_id
 
 
@@ -228,7 +242,7 @@ def make_integrator(
         alpha = jnp.where(hit, 1.0, alpha)
 
         # --- material fetch (shading_worker.cpp:44-50) ---------------------
-        mat = textures.material_lookup(fs, mat_id, uv)
+        mat = textures.material_lookup(fs, mat_id, uv, static.has_textures)
         emissive = mat["emissive"] * q.emissive_scale
         radiance = jnp.where(
             alive[..., None], radiance + state.throughput * emissive, radiance

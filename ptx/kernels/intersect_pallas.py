@@ -339,6 +339,50 @@ def _any_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
                       jax.lax.rem(k_fin, 2)).wait()
 
 
+# Scenes up to this many tiles skip the plan entirely: every tile stays
+# resident in VMEM and each ray block sweeps all of them (a 4-tile sweep is
+# cheaper than planning it).
+SMALL_TILES = 4
+
+
+def _closest_small_kernel(rays_ref, tris_ref, t_ref, idx_ref):
+    t_ref[:] = jnp.full_like(t_ref, INF)
+    idx_ref[:] = jnp.zeros_like(idx_ref)
+    for tile in range(tris_ref.shape[0]):  # static unroll
+        t = _mt_matrix(rays_ref[:], tris_ref[tile])
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+        closer = tmin < t_ref[:]
+        t_ref[:] = jnp.where(closer, tmin, t_ref[:])
+        idx_ref[:] = jnp.where(closer, tile * TT + arg, idx_ref[:])
+
+
+def _any_small_kernel(rays_ref, tris_ref, hit_ref):
+    hit = jnp.zeros_like(hit_ref)
+    for tile in range(tris_ref.shape[0]):
+        t = _mt_matrix(rays_ref[:], tris_ref[tile])
+        hit = hit | jnp.any(t < INF, axis=1, keepdims=True).astype(jnp.int32)
+    hit_ref[:] = hit
+
+
+def _small_call(kernel, rays, tris, out_shapes, interpret):
+    nb = rays.shape[0] // RB
+    one = len(out_shapes) == 1
+    out_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all tiles resident
+        ],
+        out_specs=out_spec if one else tuple(out_spec for _ in out_shapes),
+        out_shape=out_shapes[0] if one else tuple(out_shapes),
+        interpret=interpret,
+    )(rays, tris)
+
+
 def _pack_rays(orig, dirn):
     r = orig.shape[0]
     r_pad = -(-r // RB) * RB
@@ -355,13 +399,11 @@ def _grid_call(kernel, rays, tris, boxes, out_shapes, interpret):
     r_pad = rays.shape[0]
     n_tiles = tris.shape[0]
     nb = r_pad // RB
-    if n_tiles == 1:
-        # Single-tile scene: nothing to cull or order — skip the plan.
-        order = jnp.zeros((nb, 1), jnp.int32)
-        count = jnp.ones((nb,), jnp.int32)
-        near = jnp.full((nb, 2), -INF, jnp.float32)
-    else:
-        order, count, near = _plan_tiles(rays, boxes)
+    if n_tiles <= SMALL_TILES:
+        small = (_closest_small_kernel
+                 if kernel is _closest_kernel else _any_small_kernel)
+        return _small_call(small, rays, tris, out_shapes, interpret)
+    order, count, near = _plan_tiles(rays, boxes)
     one = len(out_shapes) == 1
     out_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -79,13 +79,30 @@ def sample_texture(fs: FlatScene, tex_idx, uv):
 # ---------------------------------------------------------------------------
 
 
-def material_lookup(fs: FlatScene, mat_id, uv):
+def material_lookup(fs: FlatScene, mat_id, uv, textured: bool = True):
     """Fetch all shading inputs for a wavefront of hits.
 
     ``mat_id``: [R] i32, ``uv``: [R, 2].  Returns a dict of per-ray material
     properties; slots with no texture hit the neutral dummy texels so the
     whole fetch is branch-free.
+
+    ``textured=False`` (scene has no textures at all — SceneStatic
+    .has_textures) skips every bilinear fetch: factors only, flat normal.
     """
+    if not textured:
+        shape = uv.shape[:-1] + (3,)
+        return dict(
+            albedo=fs.mat_albedo[mat_id],
+            opacity=fs.mat_opacity[mat_id],
+            roughness=fs.mat_roughness[mat_id],
+            metallic=fs.mat_metallic[mat_id],
+            emissive=fs.mat_emissive[mat_id],
+            tangent_normal=jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), shape
+            ),
+            ior=fs.mat_ior[mat_id],
+            shadow_catcher=fs.mat_shadow_catcher[mat_id],
+        )
     tex = fs.mat_tex[mat_id]  # [R, 7]
     albedo = fs.mat_albedo[mat_id] * sample_texture(fs, tex[..., SLOT_ALBEDO], uv)[..., :3]
     opacity = fs.mat_opacity[mat_id] * sample_texture(fs, tex[..., SLOT_OPACITY], uv)[..., 3]
