@@ -33,6 +33,14 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--transparent-background", action="store_true")
     p.add_argument("--physical", action="store_true",
                    help="physically-correct mode instead of reference quirks")
+    p.add_argument("--quirks", default="worker",
+                   choices=["worker", "monolithic", "physical"],
+                   help="reference semantics: wavefront worker (default), "
+                        "monolithic renderer (out<=in indirect clamp, no RR), "
+                        "or physical")
+    p.add_argument("--sort-rays", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="per-bounce ray sorting / wavefront compaction")
     p.add_argument("--config", help="JSON RenderConfig (overrides other flags)")
     p.add_argument("--checkpoint", help="checkpoint file for save/resume")
     p.add_argument("--env", help="environment map image (.hdr or LDR)")
@@ -49,6 +57,12 @@ def _config_from_args(args):
     if args.config:
         with open(args.config) as f:
             return RenderConfig.from_json(f.read())
+    mode = "physical" if args.physical else getattr(args, "quirks", "worker")
+    quirks = {
+        "worker": Quirks,
+        "monolithic": Quirks.monolithic,
+        "physical": Quirks.physical,
+    }[mode]()
     return RenderConfig(
         width=args.width,
         height=args.height,
@@ -58,7 +72,8 @@ def _config_from_args(args):
         intersector=args.intersector,
         shader=args.shader,
         transparent_background=args.transparent_background,
-        quirks=Quirks.physical() if args.physical else Quirks(),
+        sort_rays=getattr(args, "sort_rays", "auto"),
+        quirks=quirks,
     )
 
 
