@@ -125,7 +125,7 @@ CHUNK = 8192
 
 
 def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
-                     static: SceneStatic):
+                     static: SceneStatic, live_sync: Callable = None):
     """Forward bounce loop with survivor compaction.
 
     Each iteration sorts the wavefront dead-last (fused with the morton
@@ -135,6 +135,12 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
     counter-based RNG is keyed by (pixel, sample, bounce), so lane
     permutation cannot change any sample, and untouched chunks hold only
     dead lanes whose state is final.
+
+    ``live_sync`` (SPMD use): when the step contains collectives (the
+    scene-sharded closest/any reduces), every chip on that axis must run the
+    same number of chunk steps — pass ``lambda n: lax.pmax(n, axis)`` so
+    trip counts agree; chips whose extra chunks are all-dead do cheap no-op
+    sweeps (parked lanes fail every gate).
     """
     R = state.orig.shape[0]
     chunk = CHUNK if (R % CHUNK == 0) else R
@@ -142,17 +148,22 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
     slot0 = jnp.arange(R, dtype=jnp.int32)
     dead_key = jnp.int32(1 << 30)
 
+    def count_live(s):
+        live = jnp.sum(s.alive.astype(jnp.int32))
+        # Synced over the scene axis when the step contains collectives, so
+        # the loop trip counts below stay uniform across chips.
+        return live_sync(live) if live_sync is not None else live
+
     def outer_cond(carry):
-        it, s, _ = carry
-        return (it < max_iters) & jnp.any(s.alive)
+        it, s, _, live = carry
+        return (it < max_iters) & (live > 0)
 
     def outer_body(carry):
-        it, s, slot = carry
+        it, s, slot, live = carry
         key = sorting.ray_keys(s.orig, s.dirn, static.aabb_lo, static.aabb_hi)
         perm = jnp.argsort(jnp.where(s.alive, key, dead_key))
         s = jax.tree.map(lambda x: x[perm], s)
         slot = slot[perm]
-        live = jnp.sum(s.alive.astype(jnp.int32))
         n_live = jnp.minimum((live + chunk - 1) // chunk, n_chunks)
 
         def chunk_body(cc):
@@ -174,10 +185,11 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
         _, s = jax.lax.while_loop(
             lambda cc: cc[0] < n_live, chunk_body, (jnp.int32(0), s)
         )
-        return it + 1, s, slot
+        return it + 1, s, slot, count_live(s)
 
-    _, state, slot = jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.int32(0), state, slot0)
+    _, state, slot, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), state, slot0, count_live(state)),
     )
     # Undo the accumulated permutation for the two outputs the caller reads.
     radiance = jnp.zeros_like(state.radiance).at[slot].set(state.radiance)
@@ -192,6 +204,7 @@ def make_integrator(
     any_hit: Callable,
     differentiable: bool = False,
     chunked: bool = True,
+    live_sync: Callable = None,
 ):
     """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
     (radiance [R,3], alpha [R])``.
@@ -442,14 +455,23 @@ def make_integrator(
             )
         elif chunked and do_compact:
             # Survivor-compacted loop (sorted dead-last, live chunks only).
-            return _chunked_forward(step, fs, state, max_iters, static)
+            return _chunked_forward(
+                step, fs, state, max_iters, static, live_sync
+            )
         else:
             # Forward-only: while_loop exits as soon as every lane is dead
             # (the terminator thread's `completed == X*Y*samples` spin,
-            # worker.cpp:70-78, as a loop condition).
+            # worker.cpp:70-78, as a loop condition).  Under scene sharding
+            # the liveness must be agreed over the scene axis (live_sync):
+            # with rays sharded per chip (ring mode), per-chip exits would
+            # desynchronize the ppermute/psum sequence and deadlock.
+            def any_alive(s):
+                n = jnp.sum(s.alive.astype(jnp.int32))
+                return (live_sync(n) if live_sync is not None else n) > 0
+
             def cond(carry):
                 it, s = carry
-                return (it < max_iters) & jnp.any(s.alive)
+                return (it < max_iters) & any_alive(s)
 
             def wbody(carry):
                 it, s = carry

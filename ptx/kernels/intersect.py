@@ -48,7 +48,10 @@ def brute_closest(fs: FlatScene, orig, dirn, tile: int = 512):
 
     def body(i, carry):
         best_t, best_tri, best_b, best_g = carry
-        start = i * tile
+        # dynamic_slice clamps an out-of-range start (last tile of a
+        # non-tile-multiple shard) — clamp the index math identically or
+        # `start + arg` attributes hits to the wrong triangle.
+        start = jnp.minimum(i * tile, n - tile)
         a = jax.lax.dynamic_slice_in_dim(fs.tri_a, start, tile)
         e1 = jax.lax.dynamic_slice_in_dim(fs.tri_e1, start, tile)
         e2 = jax.lax.dynamic_slice_in_dim(fs.tri_e2, start, tile)

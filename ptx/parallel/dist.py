@@ -190,10 +190,20 @@ def make_distributed_sample_fn(
         any_hit = sharded_any_hit(base_any)
     else:
         closest, any_hit = base_closest, base_any
-    # chunked=False: the compaction loop's trip count is data-dependent, and
-    # per-chip divergence around the collectives in the sharded closures
-    # would deadlock the mesh (every chip must issue the same psum sequence).
-    integrator = make_integrator(static, cfg, closest, any_hit, chunked=False)
+    # Survivor compaction under SPMD: the chunk/bounce trip counts are
+    # data-dependent, and the scene-sharded closures psum/ppermute over
+    # AXIS_SCENE — sync the live count over the WHOLE mesh so every chip
+    # issues the identical collective sequence (strictly only the scene
+    # axis must agree, but collective rendezvous is global in some runtimes
+    # and a mesh-wide i32 pmax per bounce costs nothing; chips whose extra
+    # chunks are all-dead do cheap no-op sweeps).
+    live_sync = (
+        (lambda v: jax.lax.pmax(v, (pmesh.AXIS_RAYS, pmesh.AXIS_SCENE)))
+        if plan.scene_sharded else None
+    )
+    integrator = make_integrator(
+        static, cfg, closest, any_hit, live_sync=live_sync
+    )
 
     n_pixels = cfg.width * cfg.height
     ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)

@@ -139,3 +139,26 @@ def test_union_of_shards_renders_identically(cornell):
     )
     res = R.render(merged, static_m, cfg)
     np.testing.assert_allclose(res.color, full.color, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("tp,comm", [(2, "reduce"), (4, "reduce"), (2, "ring")])
+def test_chunked_compaction_under_scene_sharding(tp, comm):
+    """Survivor compaction + scene-sharded collectives: the chunk/bounce
+    trip counts are pmax-synced over the scene axis, so every chip issues
+    the same psum sequence. Exercised with a scene big enough to trigger
+    should_compact (> 4 triangle tiles) — images must still match the
+    single-device render bit-for-bit."""
+    fs, static = R.load_scene("synthetic:3000")
+    from ptx.kernels import sorting
+
+    assert sorting.should_compact(static)
+    cfg = _cfg(width=16, height=16, samples=1, bounces=3)
+    single = R.render(fs, static, cfg)
+
+    plan = pmesh.Plan(dp=8 // tp, tp=tp, scene_sharded=True)
+    meshdev = pmesh.make_mesh(plan)
+    multi = dist.render_distributed(fs, static, cfg, plan=plan, mesh=meshdev,
+                                    comm=comm)
+    np.testing.assert_allclose(
+        np.asarray(single.color), np.asarray(multi.color), atol=1e-5
+    )
