@@ -255,7 +255,7 @@ def make_integrator(
         alpha = jnp.where(hit, 1.0, alpha)
 
         # --- material fetch (shading_worker.cpp:44-50) ---------------------
-        mat = textures.material_lookup(fs, mat_id, uv, static.has_textures)
+        mat = textures.material_lookup(fs, mat_id, uv, static)
         emissive = mat["emissive"] * q.emissive_scale
         radiance = jnp.where(
             alive[..., None], radiance + state.throughput * emissive, radiance

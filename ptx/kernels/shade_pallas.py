@@ -543,7 +543,7 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
         else:
             q_orig, q_dirn = state.orig, state.dirn
         h = closest(fs, q_orig, q_dirn)
-        mat = textures.material_lookup(fs, h.mat_id, h.uv, static.has_textures)
+        mat = textures.material_lookup(fs, h.mat_id, h.uv, static)
         env = _env_radiance(fs, static, cfg, state.dirn)
 
         pix_p = _plane(state.pixel_ids.astype(jnp.uint32))

@@ -116,6 +116,14 @@ class SceneStatic:
     # hashable / jit-closure-safe.
     aabb_lo: tuple = (0.0, 0.0, 0.0)
     aabb_hi: tuple = (1.0, 1.0, 1.0)
+    # Static texture facts (gathers are the TPU bottleneck — every slot that
+    # provably hits only dummy texels costs 4 pointless gathers per ray):
+    # tex_slot_used[s]: any material has a real texture in slot s;
+    # the two share flags record glTF's packing (opacity = baseColor alpha,
+    # metallic-roughness one texture) so one bilinear fetch serves both.
+    tex_slot_used: tuple = (True,) * 7
+    opacity_shares_albedo: bool = False
+    metallic_shares_roughness: bool = False
 
 
 def flatten(
@@ -332,6 +340,23 @@ def flatten(
     else:
         lo = np.zeros(3, np.float32)
         hi = np.ones(3, np.float32)
+    dummy = np.array([1, 0, 0, 0, 0, 0, 0], np.int32)  # per-slot neutral id
+    slot_used = tuple(
+        bool((mat_tex[:, s] != dummy[s]).any()) for s in range(7)
+    ) if m else (False,) * 7
+    # Opacity rides baseColor's alpha for non-opaque materials and the white
+    # dummy otherwise (gltf loader parity, load_gltf.cpp:291-296) — when that
+    # invariant holds for EVERY material, the albedo sample plus a per-ray
+    # slot compare reconstructs the opacity sample with zero extra gathers.
+    share_op = bool(m) and bool(
+        (
+            (mat_tex[:, SLOT_OPACITY] == mat_tex[:, SLOT_ALBEDO])
+            | (mat_tex[:, SLOT_OPACITY] == 0)
+        ).all()
+    )
+    share_mr = bool(m) and bool(
+        (mat_tex[:, SLOT_METALLIC] == mat_tex[:, SLOT_ROUGHNESS]).all()
+    )
     static = SceneStatic(
         n_tris=n,
         n_tris_padded=n_padded,
@@ -342,6 +367,9 @@ def flatten(
         has_translucent=has_translucent,
         aabb_lo=tuple(float(v) for v in lo),
         aabb_hi=tuple(float(v) for v in hi),
+        tex_slot_used=slot_used,
+        opacity_shares_albedo=share_op,
+        metallic_shares_roughness=share_mr,
     )
     return fs, static
 

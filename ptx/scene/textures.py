@@ -79,40 +79,73 @@ def sample_texture(fs: FlatScene, tex_idx, uv):
 # ---------------------------------------------------------------------------
 
 
-def material_lookup(fs: FlatScene, mat_id, uv, textured: bool = True):
+def material_lookup(fs: FlatScene, mat_id, uv, static=None):
     """Fetch all shading inputs for a wavefront of hits.
 
     ``mat_id``: [R] i32, ``uv``: [R, 2].  Returns a dict of per-ray material
     properties; slots with no texture hit the neutral dummy texels so the
     whole fetch is branch-free.
 
-    ``textured=False`` (scene has no textures at all — SceneStatic
-    .has_textures) skips every bilinear fetch: factors only, flat normal.
+    Random texel gathers are the TPU bottleneck of textured shading, so the
+    static facts recorded at flatten time (``SceneStatic.tex_slot_used`` /
+    ``opacity_shares_albedo`` / ``metallic_shares_roughness``) prune the
+    fetch plan: a slot whose every material points at the dummy texel is a
+    multiply-by-one (skipped exactly), and glTF's packing (alpha in
+    baseColor, one metallic-roughness map) lets one bilinear sample serve
+    two slots. Results are bit-identical to the unpruned fetch.
     """
-    if not textured:
-        shape = uv.shape[:-1] + (3,)
-        return dict(
-            albedo=fs.mat_albedo[mat_id],
-            opacity=fs.mat_opacity[mat_id],
-            roughness=fs.mat_roughness[mat_id],
-            metallic=fs.mat_metallic[mat_id],
-            emissive=fs.mat_emissive[mat_id],
-            tangent_normal=jnp.broadcast_to(
-                jnp.array([0.0, 0.0, 1.0], jnp.float32), shape
-            ),
-            ior=fs.mat_ior[mat_id],
-            shadow_catcher=fs.mat_shadow_catcher[mat_id],
-        )
-    tex = fs.mat_tex[mat_id]  # [R, 7]
-    albedo = fs.mat_albedo[mat_id] * sample_texture(fs, tex[..., SLOT_ALBEDO], uv)[..., :3]
-    opacity = fs.mat_opacity[mat_id] * sample_texture(fs, tex[..., SLOT_OPACITY], uv)[..., 3]
+    used = static.tex_slot_used if static is not None else (True,) * 7
+    share_op = static.opacity_shares_albedo if static is not None else False
+    share_mr = static.metallic_shares_roughness if static is not None else False
+
+    tex = fs.mat_tex[mat_id] if any(used) else None  # [R, 7]
+
+    alb_rgba = None
+    if used[SLOT_ALBEDO] or (used[SLOT_OPACITY] and share_op):
+        alb_rgba = sample_texture(fs, tex[..., SLOT_ALBEDO], uv)
+    albedo = fs.mat_albedo[mat_id]
+    if alb_rgba is not None and used[SLOT_ALBEDO]:
+        albedo = albedo * alb_rgba[..., :3]
+
+    opacity = fs.mat_opacity[mat_id]
+    if used[SLOT_OPACITY]:
+        if share_op:
+            # Opacity slot is either the albedo texture or the white dummy
+            # (flatten verified this for every material): reconstruct the
+            # sample from the albedo fetch.
+            op_a = jnp.where(
+                tex[..., SLOT_OPACITY] == tex[..., SLOT_ALBEDO],
+                alb_rgba[..., 3],
+                1.0,
+            )
+        else:
+            op_a = sample_texture(fs, tex[..., SLOT_OPACITY], uv)[..., 3]
+        opacity = opacity * op_a
+
     # G channel = roughness, B = metallic (material.cpp:34-44).
-    mr = sample_texture(fs, tex[..., SLOT_ROUGHNESS], uv)
-    roughness = fs.mat_roughness[mat_id] * mr[..., 1]
-    metallic = fs.mat_metallic[mat_id] * sample_texture(fs, tex[..., SLOT_METALLIC], uv)[..., 2]
-    emissive = fs.mat_emissive[mat_id] * sample_texture(fs, tex[..., SLOT_EMISSIVE], uv)[..., :3]
+    mr = None
+    if used[SLOT_ROUGHNESS] or (used[SLOT_METALLIC] and share_mr):
+        mr = sample_texture(fs, tex[..., SLOT_ROUGHNESS], uv)
+    roughness = fs.mat_roughness[mat_id]
+    if mr is not None and used[SLOT_ROUGHNESS]:
+        roughness = roughness * mr[..., 1]
+    metallic = fs.mat_metallic[mat_id]
+    if used[SLOT_METALLIC]:
+        mb = mr if share_mr else sample_texture(fs, tex[..., SLOT_METALLIC], uv)
+        metallic = metallic * mb[..., 2]
+
+    emissive = fs.mat_emissive[mat_id]
+    if used[SLOT_EMISSIVE]:
+        emissive = emissive * sample_texture(fs, tex[..., SLOT_EMISSIVE], uv)[..., :3]
+
     # Normal map decode 2t - 1 (material.cpp:6-11).
-    tangent_normal = sample_texture(fs, tex[..., SLOT_NORMAL], uv)[..., :3] * 2.0 - 1.0
+    if used[SLOT_NORMAL]:
+        tangent_normal = sample_texture(fs, tex[..., SLOT_NORMAL], uv)[..., :3] * 2.0 - 1.0
+    else:
+        tangent_normal = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), uv.shape[:-1] + (3,)
+        )
+
     return dict(
         albedo=albedo,
         opacity=opacity,
