@@ -221,7 +221,7 @@ def make_integrator(
     # only needed when some material can actually pass rays through.
     extra = cfg.opacity_extra_iters if static.has_translucent else 0
     max_iters = cfg.bounces + extra
-    do_compact = sorting.should_compact(static)
+    do_compact = sorting.resolve_compact(static, cfg)
 
     def step(fs: FlatScene, it, state: RayState) -> RayState:
         R = state.orig.shape[0]
@@ -479,7 +479,5 @@ def make_integrator(
 
             _, state = jax.lax.while_loop(cond, wbody, (jnp.int32(0), state))
         return state.radiance, state.alpha
-
-    return integrate
 
     return integrate

@@ -459,7 +459,7 @@ def _call_shade(kernel, sun_energy, it, planes, n_rows, interpret):
     ]
     return pl.pallas_call(
         kernel,
-        grid=(n_rows // br,),
+        grid=(pl.cdiv(n_rows, br),),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
@@ -494,7 +494,7 @@ def _call_sun(static, cfg, it, pix, smp, alive, n_interp, position, fs, n_rows,
     )
     return pl.pallas_call(
         kernel,
-        grid=(n_rows // br,),
+        grid=(pl.cdiv(n_rows, br),),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -529,7 +529,7 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
 
     from ptx.kernels import sorting
 
-    do_compact = sorting.should_compact(static)
+    do_compact = sorting.resolve_compact(static, cfg)
 
     def step(fs, it, state: RayState) -> RayState:
         r = state.orig.shape[0]

@@ -7,14 +7,14 @@ Under SPMD the wavefront is a fixed-shape SoA and both problems reappear:
 
 * after the first bounce, consecutive lanes hold rays scattered all over the
   scene, so the intersector's block-level tile culling
-  (``intersect_pallas._plan_tiles``) stops working — every 256-ray block's
+  (``intersect_pallas._plan_tiles``) stops working — every ray block's
   frustum covers everything;
 * terminated lanes still occupy blocks and sweep triangle tiles.
 
 Both are solved with one permutation per intersection call:
 
 * **sorting** — rays are ordered by a (coarse-morton(origin), direction
-  octant) key, so each 256-lane block covers a small spatial cell with a
+  octant) key, so each block covers a small spatial cell with a
   narrow direction cone and the tile gates cull again (measured ~3x on the
   59k-tri jack-of-blades scene vs shuffled order);
 * **parking** — the integrators move dead lanes to a point outside the scene
@@ -43,6 +43,16 @@ from ptx.scene.flatten import SceneStatic
 # cell id; the 3 direction-octant bits ride below it so rays in the same cell
 # group by heading.
 MORTON_BITS = 7
+
+
+def resolve_compact(static: SceneStatic, cfg) -> bool:
+    """Honour cfg.sort_rays: "off" disables sorting/parking/compaction
+    entirely, "on" forces it, "auto" defers to the scene-size rule."""
+    if cfg.sort_rays == "off":
+        return False
+    if cfg.sort_rays == "on":
+        return True
+    return should_compact(static)
 
 
 def should_compact(static: SceneStatic) -> bool:

@@ -179,9 +179,15 @@ def make_distributed_sample_fn(
       around the shard ring carrying their running best hit (the
       ring-attention schedule; 1/tp the ray memory, ICI-bandwidth bound).
     """
+    from ptx.kernels import sorting
     from ptx.render import get_backend
 
-    base_closest, base_any = get_backend(static, cfg)
+    # The compacted bounce loop sorts the wavefront itself — skip the
+    # per-call backend sorting wrapper then (mirrors make_integrator_for).
+    chunk_active = sorting.resolve_compact(static, cfg)
+    base_closest, base_any = get_backend(
+        static, cfg, sort=False if chunk_active else None
+    )
     if plan.scene_sharded and comm == "ring":
         closest = ring_closest(base_closest)
         any_hit = ring_any_hit(base_any)

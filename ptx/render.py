@@ -95,13 +95,13 @@ def get_backend(static: SceneStatic, cfg: RenderConfig, sort=None):
 def resolve_sort(static: SceneStatic, cfg: RenderConfig, name: str) -> bool:
     """Per-bounce ray sorting pays for itself once the Pallas sweep spans
     several triangle tiles (coherent blocks -> tile gates cull again)."""
+    from ptx.kernels import sorting
+
     if cfg.sort_rays == "on":
         return True
     if cfg.sort_rays == "off":
         return False
-    from ptx.kernels.intersect_pallas import TT
-
-    return name == "pallas" and static.n_tris_padded > 4 * TT
+    return name == "pallas" and sorting.should_compact(static)
 
 
 def resolve_intersector(static: SceneStatic, cfg: RenderConfig) -> str:
@@ -144,7 +144,7 @@ def make_integrator_for(static: SceneStatic, cfg: RenderConfig):
 
     # The chunked forward loop keeps the wavefront sorted itself — skip the
     # per-call backend sorting wrapper then.
-    chunk_active = sorting.should_compact(static)
+    chunk_active = sorting.resolve_compact(static, cfg)
     closest, any_hit = get_backend(
         static, cfg, sort=False if chunk_active else None
     )

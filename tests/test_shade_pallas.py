@@ -54,3 +54,20 @@ def test_auto_falls_back_for_unaligned():
                        intersector="brute", shader="auto")
     res = R.render(fs, static, cfg)  # auto -> xla, no error
     assert np.isfinite(res.color).all()
+
+
+def test_partial_block_rows_shade_correctly():
+    """Regression: the shade/sun kernels floor-truncated their grid, so a
+    wavefront whose row count is not a multiple of BLOCK_ROWS (e.g. the CLI
+    default 640x480 -> 2400 rows) left the tail rows unshaded garbage."""
+    from ptx import render as R
+    from ptx.config import RenderConfig
+
+    fs, static = R.load_scene("synthetic:500")
+    base = dict(width=128, height=96, samples=2, bounces=3,
+                intersector="brute")
+    rp = R.render(fs, static, RenderConfig(shader="pallas", **base))
+    rx = R.render(fs, static, RenderConfig(shader="xla", **base))
+    np.testing.assert_allclose(
+        np.asarray(rp.color), np.asarray(rx.color), atol=1e-5
+    )
