@@ -509,12 +509,18 @@ def _call_sun(static, cfg, it, pix, smp, alive, n_interp, position, fs, n_rows,
 
 
 def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
-                           closest, any_hit, interpret=None):
+                           closest, any_hit, interpret=None,
+                           live_sync=None):
     """Integrator with the fused Pallas shading path.
 
     Produces identical images to ``ptx.integrator.wavefront.make_integrator``
     (same RNG streams, same merge order); only the execution schedule differs.
     Forward-only (the differentiable path stays on the XLA integrator).
+
+    ``live_sync`` (SPMD use): when ``closest``/``any_hit`` contain
+    collectives (the scene-sharded reduces), pass an axis-wide pmax so every
+    chip agrees on loop trip counts — same contract as
+    ``wavefront._chunked_forward``.
     """
     from ptx.integrator.wavefront import RayState, _env_radiance
     from ptx.scene import camera as pcamera
@@ -661,11 +667,17 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
         )
 
         if do_compact:
-            return _chunked_forward(step, fs, state, max_iters, static)
+            return _chunked_forward(
+                step, fs, state, max_iters, static, live_sync
+            )
+
+        def any_alive(s):
+            n = jnp.sum(s.alive.astype(jnp.int32))
+            return (live_sync(n) if live_sync is not None else n) > 0
 
         def cond(carry):
             it, s = carry
-            return (it < max_iters) & jnp.any(s.alive)
+            return (it < max_iters) & any_alive(s)
 
         def body(carry):
             it, s = carry

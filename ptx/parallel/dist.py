@@ -180,7 +180,7 @@ def make_distributed_sample_fn(
       ring-attention schedule; 1/tp the ray memory, ICI-bandwidth bound).
     """
     from ptx.kernels import sorting
-    from ptx.render import get_backend
+    from ptx.render import get_backend, resolve_shader
 
     # The compacted bounce loop sorts the wavefront itself — skip the
     # per-call backend sorting wrapper then (mirrors make_integrator_for).
@@ -207,18 +207,32 @@ def make_distributed_sample_fn(
         (lambda v: jax.lax.pmax(v, (pmesh.AXIS_RAYS, pmesh.AXIS_SCENE)))
         if plan.scene_sharded else None
     )
-    integrator = make_integrator(
-        static, cfg, closest, any_hit, live_sync=live_sync
-    )
-
+    # The flagship schedule shards too: same shader resolution as the
+    # single-chip make_integrator_for, so multi-chip keeps the fused Pallas
+    # shading path instead of falling back to the XLA integrator.
     n_pixels = cfg.width * cfg.height
     ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)
+    rays_per_chip = n_pixels // max(ray_ways, 1)
+    if resolve_shader(cfg) == "pallas" and rays_per_chip % 128 == 0:
+        from ptx.kernels.shade_pallas import make_pallas_integrator
+
+        integrator = make_pallas_integrator(
+            static, cfg, closest, any_hit, live_sync=live_sync
+        )
+    else:
+        integrator = make_integrator(
+            static, cfg, closest, any_hit, live_sync=live_sync
+        )
+
     if n_pixels % ray_ways:
         raise ValueError(
             f"pixel count {n_pixels} must divide the ray sharding ({ray_ways})"
         )
 
-    fs_specs = pmesh.scene_shardings(mesh, plan.scene_sharded)
+    fs_specs = pmesh.scene_shardings(
+        mesh, plan.scene_sharded,
+        shard_bvh=plan.scene_sharded and static.n_bvh_nodes > 0,
+    )
     if comm == "ring" and plan.scene_sharded:
         ids_spec = P((pmesh.AXIS_RAYS, pmesh.AXIS_SCENE))
     else:
@@ -241,6 +255,39 @@ def make_distributed_sample_fn(
     return sample_pass
 
 
+def prepare_scene(
+    fs: FlatScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    plan: pmesh.Plan,
+    mesh: Mesh,
+):
+    """Accel-build + place a scene for the plan.
+
+    * scene-sharded: split into shard-local chunks with *per-shard* BVHs
+      (``ptx.parallel.shard_scene``) so every device's leaf ranges index its
+      own triangles; node arrays shard along tp with the triangles.
+    * replicated: a single global BVH (``ptx.render.ensure_accel``),
+      replicated like the rest of the scene.
+
+    Returns ``(fs_on_mesh, static_local)`` where ``static_local`` describes
+    the per-device view inside ``shard_map``.
+    """
+    if plan.scene_sharded:
+        from ptx.parallel.shard_scene import build_shard_scene
+
+        fs, static = build_shard_scene(fs, static, plan, cfg)
+        fs = pmesh.shard_scene(
+            fs, mesh, True, shard_bvh=static.n_bvh_nodes > 0
+        )
+    else:
+        from ptx.render import ensure_accel
+
+        fs, static = ensure_accel(fs, static, cfg)
+        fs = pmesh.shard_scene(fs, mesh, False)
+    return fs, static
+
+
 def render_distributed(
     fs: FlatScene,
     static: SceneStatic,
@@ -249,16 +296,24 @@ def render_distributed(
     mesh: Optional[Mesh] = None,
     progress=None,
     comm: str = "reduce",
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 5,
 ):
-    """Multi-chip progressive render (same contract as ``ptx.render.render``)."""
+    """Multi-chip progressive render (same contract as ``ptx.render.render``,
+    including checkpoint/resume — the accumulated mean + sample count is
+    device-layout-independent, so a checkpoint written here resumes on any
+    mesh shape, or single-chip)."""
     from ptx.integrator import accumulate
+    from ptx.io import checkpoint as ckpt_mod
     from ptx.render import RenderResult, _update_claim, _update_mean
 
     if plan is None:
-        plan = pmesh.plan(static.n_tris_padded)
+        plan = pmesh.plan(
+            static.n_tris_padded, n_texels=int(np.asarray(fs.tex_texels).shape[0])
+        )
     if mesh is None:
         mesh = pmesh.make_mesh(plan)
-    fs = pmesh.shard_scene(fs, mesh, plan.scene_sharded)
+    fs, static = prepare_scene(fs, static, cfg, plan, mesh)
     sample_fn = make_distributed_sample_fn(static, cfg, mesh, plan, comm)
 
     p = cfg.width * cfg.height
@@ -266,7 +321,42 @@ def render_distributed(
         carry = (jnp.zeros((p, 3)), jnp.zeros((p,)), jnp.zeros((p,), bool))
     else:
         carry = (jnp.zeros((p, 3)), jnp.zeros((p,)))
-    for s in range(cfg.samples):
+
+    start_sample = 0
+    fingerprint = None
+    if checkpoint_path is not None:
+        fingerprint = ckpt_mod.config_fingerprint(cfg)
+        loaded = ckpt_mod.load(checkpoint_path, fingerprint)
+        if loaded is not None and 0 < loaded.samples_done <= cfg.samples:
+            start_sample = loaded.samples_done
+            if cfg.transparent_background:
+                carry = (
+                    jnp.asarray(loaded.color),
+                    jnp.asarray(loaded.alpha),
+                    jnp.asarray(
+                        loaded.claimed
+                        if loaded.claimed is not None
+                        else np.zeros(p, bool)
+                    ),
+                )
+            else:
+                carry = (jnp.asarray(loaded.color), jnp.asarray(loaded.alpha))
+
+    def write_checkpoint(done):
+        ckpt_mod.save(
+            checkpoint_path,
+            ckpt_mod.Checkpoint(
+                color=np.asarray(carry[0]),
+                alpha=np.asarray(carry[1]),
+                claimed=(
+                    np.asarray(carry[2]) if cfg.transparent_background else None
+                ),
+                samples_done=done,
+                fingerprint=fingerprint,
+            ),
+        )
+
+    for s in range(start_sample, cfg.samples):
         radiance, alpha = sample_fn(fs, jnp.int32(s))
         n = jnp.float32(s)
         if cfg.transparent_background:
@@ -275,6 +365,15 @@ def render_distributed(
             carry = _update_mean(carry, radiance, alpha, n)
         if progress is not None:
             progress(s + 1, cfg.samples)
+        if (
+            checkpoint_path is not None
+            and (s + 1) % checkpoint_every == 0
+            and (s + 1) < cfg.samples
+        ):
+            write_checkpoint(s + 1)
+
+    if checkpoint_path is not None:
+        write_checkpoint(cfg.samples)
 
     color, alpha = carry[0], carry[1]
     image = accumulate.finalize(color, alpha)

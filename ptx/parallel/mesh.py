@@ -43,6 +43,9 @@ class Plan:
     dp: int
     tp: int
     scene_sharded: bool
+    # Shard the texture pack along tp too (texel gathers then ride a
+    # one-hot psum across the scene axis — ptx.parallel.shard_scene).
+    shard_textures: bool = False
 
     @property
     def n_devices(self) -> int:
@@ -62,25 +65,52 @@ def plan(
     force_tp: Optional[int] = None,
 ) -> Plan:
     """Choose a mesh shape (the ``get_split_scene`` decision of
-    ``preprocessor.py:64-69``, driven by HBM instead of Lambda memory).
+    ``preprocessor.py:64-69``, driven by HBM instead of Lambda memory —
+    and, like the reference's partitioner, *texture-aware*: texel bytes
+    dominate textured scenes, ``preprocessor.py:104-111``).
 
     The scene is replicated while it fits in ``scene_budget_fraction`` of a
     chip's HBM (pure ray parallelism — fastest); otherwise the scene axis
-    grows by powers of two until each shard fits.
+    grows by powers of two until each shard fits.  Triangles always shard
+    with tp; the texture pack stays replicated while it fits alone and flips
+    to tp-sharded (``Plan.shard_textures``) only when it doesn't.
     """
     if n_devices is None:
         n_devices = jax.device_count()
+    budget = hbm_bytes_per_chip * scene_budget_fraction
     if force_tp is not None:
         tp = force_tp
     else:
-        budget = hbm_bytes_per_chip * scene_budget_fraction
         tp = 1
-        while scene_bytes(n_tris // tp, n_texels) > budget and tp < n_devices:
+        while (
+            scene_bytes(n_tris // tp, 0) + n_texels * 16 > budget
+            and tp < n_devices
+        ):
             tp *= 2
     tp = min(tp, n_devices)
+    needed = tp
     while n_devices % tp:
         tp += 1  # round up to the next divisor to keep the mesh rectangular
-    return Plan(dp=n_devices // tp, tp=tp, scene_sharded=tp > 1)
+    if tp > needed and tp >= 2 * needed:
+        # On non-power-of-two device counts the next divisor can be far from
+        # the memory-driven need (worst case tp == n_devices: pure scene
+        # sharding, the slowest mode) — surface it rather than run silent.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "plan(): scene axis rounded from tp=%d to the next divisor %d of "
+            "%d devices; consider a device count divisible by %d",
+            needed, tp, n_devices, needed,
+        )
+    # Texture pack: replicate while it fits next to the triangle shard;
+    # shard along tp only when textures alone bust the budget.
+    shard_tex = tp > 1 and (
+        scene_bytes(n_tris // tp, 0) + n_texels * 16 > budget
+    )
+    return Plan(
+        dp=n_devices // tp, tp=tp, scene_sharded=tp > 1,
+        shard_textures=shard_tex,
+    )
 
 
 def make_mesh(p: Plan, devices: Optional[Sequence] = None) -> Mesh:
@@ -90,9 +120,16 @@ def make_mesh(p: Plan, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, (AXIS_RAYS, AXIS_SCENE))
 
 
-def scene_shardings(mesh: Mesh, scene_sharded: bool):
+def scene_shardings(mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False):
     """Per-leaf PartitionSpecs for a FlatScene: triangle-indexed arrays split
-    along the scene axis, the rest (materials, textures, camera) replicated."""
+    along the scene axis, the rest (materials, textures, camera) replicated.
+
+    ``shard_bvh`` additionally splits the BVH node arrays along the scene
+    axis — only valid for scenes prepared by
+    :func:`ptx.parallel.shard_scene.build_shard_scene`, whose per-shard node
+    blocks hold *shard-local* leaf ranges.  A globally-built BVH must NEVER
+    be sharded (its leaf ranges index the global triangle order) nor
+    replicated over sharded triangles (round 1's wrong-image bug)."""
     from ptx.scene.flatten import FlatScene
 
     tri_fields = {
@@ -100,18 +137,21 @@ def scene_shardings(mesh: Mesh, scene_sharded: bool):
         "n0", "n1", "n2", "t0", "t1", "t2",
         "uv0", "uv1", "uv2", "mat_id", "tri_attrs",
     }
+    bvh_fields = {"bvh_min", "bvh_max", "bvh_first", "bvh_count", "bvh_miss"}
     spec = {}
     for field in FlatScene._fields:
         if scene_sharded and field in tri_fields:
+            spec[field] = P(AXIS_SCENE)
+        elif scene_sharded and shard_bvh and field in bvh_fields:
             spec[field] = P(AXIS_SCENE)
         else:
             spec[field] = P()
     return FlatScene(**spec)
 
 
-def shard_scene(fs, mesh: Mesh, scene_sharded: bool):
+def shard_scene(fs, mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False):
     """Place a FlatScene on the mesh according to the plan."""
-    specs = scene_shardings(mesh, scene_sharded)
+    specs = scene_shardings(mesh, scene_sharded, shard_bvh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), fs, specs
     )

@@ -141,6 +141,36 @@ def test_union_of_shards_renders_identically(cornell):
     np.testing.assert_allclose(res.color, full.color, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("backend", ["brute", "bvh", "pallas"])
+@pytest.mark.parametrize("tp,comm", [(2, "reduce"), (4, "reduce"), (2, "ring")])
+def test_every_backend_matches_single_device_under_scene_sharding(
+    backend, tp, comm
+):
+    """The round-1 wrong-image bug: a globally-built BVH replicated over
+    scene-sharded triangles made ``bvh`` + tp>1 silently render garbage
+    (leaf ranges indexed the wrong shard-local triangles).  Every backend x
+    comm x tp combination must now match the single-device render — shard
+    preparation builds *per-shard* BVHs with shard-local leaf ranges
+    (``ptx.parallel.shard_scene``).  Ref: the per-ray min reduce these
+    shardings implement is ``intersection_worker.cpp:69-147``."""
+    fs, static = R.load_scene("synthetic:3000")
+    cfg = _cfg(width=16, height=16, samples=1, bounces=2,
+               intersector=backend, sort_rays="off")
+    if backend == "bvh":
+        fs_s, static_s = R.ensure_accel(fs, static, cfg)
+    else:
+        fs_s, static_s = fs, static
+    single = R.render(fs_s, static_s, cfg)
+
+    plan = pmesh.Plan(dp=8 // tp, tp=tp, scene_sharded=True)
+    meshdev = pmesh.make_mesh(plan)
+    multi = dist.render_distributed(fs, static, cfg, plan=plan,
+                                    mesh=meshdev, comm=comm)
+    np.testing.assert_allclose(
+        np.asarray(single.color), np.asarray(multi.color), atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("tp,comm", [(2, "reduce"), (4, "reduce"), (2, "ring")])
 def test_chunked_compaction_under_scene_sharding(tp, comm):
     """Survivor compaction + scene-sharded collectives: the chunk/bounce
