@@ -13,16 +13,17 @@ def main() -> int:
     from ptx.bench import run_bench
 
     result = run_bench()
-    print(
-        json.dumps(
-            {
-                "metric": result["metric"],
-                "value": result["value"],
-                "unit": result["unit"],
-                "vs_baseline": result["vs_baseline"],
-            }
-        )
-    )
+    # One JSON line: the required metric/value/unit/vs_baseline keys first,
+    # then everything else (device, elapsed, the `extra` sub-benches and the
+    # roofline account) rides along in the same object.
+    ordered = {
+        "metric": result.pop("metric"),
+        "value": result.pop("value"),
+        "unit": result.pop("unit"),
+        "vs_baseline": result.pop("vs_baseline"),
+    }
+    ordered.update(result)
+    print(json.dumps(ordered))
     return 0
 
 

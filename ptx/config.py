@@ -89,6 +89,11 @@ class RenderConfig:
     seed: int = 0
     # Ray batching: rays per wavefront launch (static shape). None = whole image.
     rays_per_batch: Optional[int] = None
+    # Samples per integrator launch: batching k image samples into one
+    # wavefront launch (k*W*H rays) amortizes sort/plan/dispatch overhead and
+    # fills bigger Pallas grids. None = auto (largest k with the launch under
+    # MAX_RAYS_PER_LAUNCH); 1 = one launch per sample (round-1 behaviour).
+    samples_per_launch: Optional[int] = None
     # Intersection backend: "auto" | "brute" | "bvh" | "pallas".
     intersector: str = "auto"
     # Shading engine: "auto" (fused Pallas kernels on TPU, XLA elsewhere),

@@ -95,28 +95,48 @@ def make_batch_loss_fn(
     passes* against the target.  When the target was produced by the same
     sample ids, the loss is a deterministic function with its exact optimum
     at the true parameters (no Monte-Carlo variance term biasing the fit
-    dark), at n_samples x the per-step cost."""
-    from ptx.render import get_backend
+    dark).
+
+    Samples are fused into wide wavefront launches (k samples x P pixels
+    rays per integrator call, k auto-sized like the forward path's
+    ``samples_per_launch``) instead of a sequential per-sample scan — on
+    TPU the backward pass is launch-bound at small frames, so this is the
+    main grad-throughput lever (round-1 backward ran 4x off forward on
+    16k-ray launches)."""
+    from ptx.render import MAX_RAYS_PER_LAUNCH, get_backend
 
     if closest is None or any_hit is None:
         closest, any_hit = get_backend(static, cfg)
     integrator = make_integrator(static, cfg, closest, any_hit, differentiable=True)
     n_pixels = cfg.width * cfg.height
 
+    # Largest divisor of n_samples whose launch stays under the ray cap.
+    k = max(1, min(n_samples, MAX_RAYS_PER_LAUNCH // max(n_pixels, 1)))
+    while n_samples % k:
+        k -= 1
+    n_groups = n_samples // k
+
     def loss(params, fs: FlatScene):
         fs = inject_params(fs, params)
-        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+        pixel_ids = jnp.tile(jnp.arange(n_pixels, dtype=jnp.int32), k)
 
-        def one(s):
-            sample_ids = jnp.full((n_pixels,), s, jnp.int32)
-            return integrator(fs, pixel_ids, sample_ids)[0]
+        def one_group(g):
+            sample_ids = g * k + jnp.repeat(
+                jnp.arange(k, dtype=jnp.int32), n_pixels
+            )
+            radiance, _ = integrator(fs, pixel_ids, sample_ids)
+            return radiance.reshape(k, n_pixels, 3).sum(axis=0)
 
-        def body(acc, s):
-            return acc + one(s), None
+        if n_groups == 1:
+            total = one_group(jnp.int32(0))
+        else:
+            def body(acc, g):
+                return acc + one_group(g), None
 
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((n_pixels, 3)), jnp.arange(n_samples, dtype=jnp.int32)
-        )
+            total, _ = jax.lax.scan(
+                body, jnp.zeros((n_pixels, 3)),
+                jnp.arange(n_groups, dtype=jnp.int32),
+            )
         radiance = total / n_samples
         return jnp.mean((radiance - target) ** 2)
 

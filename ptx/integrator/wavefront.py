@@ -446,9 +446,18 @@ def make_integrator(
             # max_iters with per-step rematerialization (jax.checkpoint), so
             # backward memory stays O(state) instead of O(state * iters).
             def body(s, it):
-                return jax.checkpoint(
-                    lambda ss: step(fs, it, ss), prevent_cse=False
-                )(s), None
+                # Scalar-predicate cond: XLA skips the whole step once every
+                # lane is dead (e.g. opacity-headroom iterations on scenes
+                # where nothing passes through) — lax.cond is reverse-mode
+                # differentiable, so the scan stays AD-safe.
+                return jax.lax.cond(
+                    jnp.any(s.alive),
+                    jax.checkpoint(
+                        lambda ss: step(fs, it, ss), prevent_cse=False
+                    ),
+                    lambda ss: ss,
+                    s,
+                ), None
 
             state, _ = jax.lax.scan(
                 body, state, jnp.arange(max_iters, dtype=jnp.int32)

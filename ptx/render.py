@@ -200,18 +200,82 @@ def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
     return sample_pass
 
 
+# Upper bound on rays per integrator launch when auto-picking
+# samples_per_launch: 2^19 lanes keeps the wavefront SoA (~70 B/lane) plus
+# intermediates comfortably inside HBM while still amortizing per-launch
+# sort/plan/dispatch costs over ~8 cornell-sized frames.
+MAX_RAYS_PER_LAUNCH = 1 << 19
+
+
+def resolve_samples_per_launch(cfg: RenderConfig) -> int:
+    """How many image samples to fuse into one wavefront launch."""
+    if cfg.rays_per_batch is not None:
+        return 1  # chunked-frame mode already bounds the launch size
+    n_pixels = cfg.width * cfg.height
+    if cfg.samples_per_launch is not None:
+        return max(1, min(cfg.samples_per_launch, cfg.samples))
+    return max(1, min(cfg.samples, MAX_RAYS_PER_LAUNCH // max(n_pixels, 1)))
+
+
+def make_batched_sample_fn(static: SceneStatic, cfg: RenderConfig, k: int):
+    """Jitted ``(fs, sample0, count) -> (radiance [k,P,3], alpha [k,P])``
+    tracing samples ``sample0 .. sample0+k-1`` in ONE integrator launch
+    (k*P rays).
+
+    One executable covers full and partial batches: ``count <= k`` tells the
+    accumulator how many leading samples are valid (the tail lanes still
+    trace — wasted only on the final ragged batch — so no second compile).
+    The RNG is keyed by absolute (pixel, sample) ids, so batched results are
+    bit-identical to one-launch-per-sample.
+    """
+    integrator = make_integrator_for(static, cfg)
+    n_pixels = cfg.width * cfg.height
+
+    @jax.jit
+    def batch_pass(fs: FlatScene, sample0):
+        pixel_ids = jnp.tile(jnp.arange(n_pixels, dtype=jnp.int32), k)
+        sample_ids = sample0 + jnp.repeat(
+            jnp.arange(k, dtype=jnp.int32), n_pixels
+        )
+        radiance, alpha = integrator(fs, pixel_ids, sample_ids)
+        return radiance.reshape(k, n_pixels, 3), alpha.reshape(k, n_pixels)
+
+    return batch_pass
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _update_mean(carry, sample_color, sample_alpha, n):
+def _update_mean_batch(carry, colors, alphas, n, count):
+    """Fold ``count`` valid samples (of the k in ``colors`` [k,P,3]) into the
+    running mean — algebraically identical to ``count`` single-sample
+    ``_update_mean`` steps."""
     color, alpha = carry
-    inv = 1.0 / (n + 1.0)
+    k = colors.shape[0]
+    valid = (jnp.arange(k) < count).astype(colors.dtype)
+    inv = 1.0 / (n + count)
     return (
-        (color * n + sample_color) * inv,
-        (alpha * n + sample_alpha) * inv,
+        (color * n + jnp.einsum("k,kpc->pc", valid, colors)) * inv,
+        (alpha * n + jnp.einsum("k,kp->p", valid, alphas)) * inv,
     )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _update_claim(carry, sample_color, sample_alpha, n):
+def _update_claim_batch(carry, colors, alphas, n, count):
+    """Sequential claim-blend fold over the batch (claim semantics are
+    order-dependent, so replay samples in order inside one jit)."""
+    k = colors.shape[0]
+
+    def body(i, acc):
+        carry, n = acc
+        do = i < count  # scalar mask: skip tail lanes of a ragged batch
+        new = _claim_step(carry, colors[i], alphas[i], n)
+        carry = jax.tree.map(lambda a, b: jnp.where(do, b, a), carry, new)
+        return carry, jnp.where(do, n + 1.0, n)
+
+    carry, _ = jax.lax.fori_loop(0, k, body, (carry, n))
+    return carry
+
+
+def _claim_step(carry, sample_color, sample_alpha, n):
     """One claim-blend step (transparent background), see
     ``accumulate.accumulate_claim``."""
     color, alpha, claimed = carry
@@ -231,6 +295,21 @@ def _update_claim(carry, sample_color, sample_alpha, n):
         jnp.where(blend | trans_on_claimed, (alpha * n + sample_alpha) * inv, alpha),
     )
     return new_color, new_alpha, claimed | claim_now
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_mean(carry, sample_color, sample_alpha, n):
+    color, alpha = carry
+    inv = 1.0 / (n + 1.0)
+    return (
+        (color * n + sample_color) * inv,
+        (alpha * n + sample_alpha) * inv,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_claim(carry, sample_color, sample_alpha, n):
+    return _claim_step(carry, sample_color, sample_alpha, n)
 
 
 @dataclasses.dataclass
@@ -258,7 +337,11 @@ def render(
     from ptx.io import checkpoint as ckpt_mod
 
     fs, static = ensure_accel(fs, static, cfg, device=True)
-    sample_fn = make_sample_fn(static, cfg)
+    k = resolve_samples_per_launch(cfg)
+    if k > 1:
+        batch_fn = make_batched_sample_fn(static, cfg, k)
+    else:
+        sample_fn = make_sample_fn(static, cfg)
     p = cfg.width * cfg.height
     if cfg.transparent_background:
         carry = (jnp.zeros((p, 3)), jnp.zeros((p,)), jnp.zeros((p,), bool))
@@ -299,21 +382,38 @@ def render(
             ),
         )
 
-    for s in range(start_sample, cfg.samples):
-        radiance, alpha = sample_fn(fs, jnp.int32(s))
+    s = start_sample
+    last_ckpt = start_sample // checkpoint_every
+    while s < cfg.samples:
         n = jnp.float32(s)
-        if cfg.transparent_background:
-            carry = _update_claim(carry, radiance, alpha, n)
+        if k > 1:
+            count = min(k, cfg.samples - s)
+            colors, alphas = batch_fn(fs, jnp.int32(s))
+            if cfg.transparent_background:
+                carry = _update_claim_batch(
+                    carry, colors, alphas, n, jnp.int32(count)
+                )
+            else:
+                carry = _update_mean_batch(
+                    carry, colors, alphas, n, jnp.float32(count)
+                )
+            s += count
         else:
-            carry = _update_mean(carry, radiance, alpha, n)
+            radiance, alpha = sample_fn(fs, jnp.int32(s))
+            if cfg.transparent_background:
+                carry = _update_claim(carry, radiance, alpha, n)
+            else:
+                carry = _update_mean(carry, radiance, alpha, n)
+            s += 1
         if progress is not None:
-            progress(s + 1, cfg.samples)
+            progress(s, cfg.samples)
         if (
             checkpoint_path is not None
-            and (s + 1) % checkpoint_every == 0
-            and (s + 1) < cfg.samples
+            and s // checkpoint_every > last_ckpt
+            and s < cfg.samples
         ):
-            write_checkpoint(s + 1)
+            last_ckpt = s // checkpoint_every
+            write_checkpoint(s)
 
     if checkpoint_path is not None:
         write_checkpoint(cfg.samples)

@@ -112,6 +112,7 @@ class ImageData:
     uri: str
     srgb: bool
     pixels: Optional[np.ndarray] = None  # [H, W, 4] f32 linear, lazy-decoded
+    data: Optional[bytes] = None  # encoded bytes (GLB bufferView images)
 
 
 @dataclasses.dataclass
@@ -152,37 +153,69 @@ def _local_transform(node: dict) -> Tuple[np.ndarray, np.ndarray]:
     return basis, origin
 
 
-def _read_accessor(gltf: dict, buffers: List[bytes], index: int) -> np.ndarray:
-    acc = gltf["accessors"][index]
-    if "sparse" in acc:
-        raise NotImplementedError("sparse accessors not supported")
-    count = acc["count"]
-    ncomp = _TYPE_COUNTS[acc["type"]]
-    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+def _read_dense(gltf: dict, buffers: List[bytes], view_index: int,
+                byte_offset: int, count: int, ncomp: int, dtype) -> np.ndarray:
+    """Read ``count`` x ``ncomp`` elements from a bufferView (handles
+    interleaved byteStride)."""
     itemsize = np.dtype(dtype).itemsize
-    if "bufferView" not in acc:
-        return np.zeros((count, ncomp), dtype)
-    view = gltf["bufferViews"][acc["bufferView"]]
+    view = gltf["bufferViews"][view_index]
     buf = buffers[view["buffer"]]
-    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    start = view.get("byteOffset", 0) + byte_offset
     stride = view.get("byteStride", ncomp * itemsize)
     if stride == ncomp * itemsize:
         arr = np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
     else:  # interleaved
         raw = np.frombuffer(buf, np.uint8, stride * count, start).reshape(count, stride)
         arr = raw[:, : ncomp * itemsize].copy().view(dtype)
+    return arr
+
+
+def _read_accessor(gltf: dict, buffers: List[bytes], index: int) -> np.ndarray:
+    acc = gltf["accessors"][index]
+    count = acc["count"]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    if "bufferView" in acc:
+        arr = _read_dense(
+            gltf, buffers, acc["bufferView"], acc.get("byteOffset", 0),
+            count, ncomp, dtype,
+        )
+    else:
+        arr = np.zeros((count, ncomp), dtype)
+    if "sparse" in acc:
+        # Sparse accessor (glTF 2.0 §3.6.2.3; reference parity: cgltf's
+        # cgltf_accessor_read with sparse substitution): two sub-reads —
+        # indices (scalar) + values (same type as the accessor) — scattered
+        # over the dense base (zeros when no bufferView).
+        sp = acc["sparse"]
+        n = sp["count"]
+        idx = _read_dense(
+            gltf, buffers, sp["indices"]["bufferView"],
+            sp["indices"].get("byteOffset", 0), n, 1,
+            _COMPONENT_DTYPES[sp["indices"]["componentType"]],
+        ).reshape(n).astype(np.int64)
+        vals = _read_dense(
+            gltf, buffers, sp["values"]["bufferView"],
+            sp["values"].get("byteOffset", 0), n, ncomp, dtype,
+        )
+        arr = arr.copy()
+        arr[idx] = vals
     if acc.get("normalized") and dtype != np.float32:
         arr = arr.astype(np.float32) / np.iinfo(dtype).max
     return np.ascontiguousarray(arr)
 
 
-def _load_buffers(gltf: dict, base_dir: str) -> List[bytes]:
+def _load_buffers(
+    gltf: dict, base_dir: str, bin_chunk: Optional[bytes] = None
+) -> List[bytes]:
     out = []
     for buf in gltf.get("buffers", []):
         uri = buf.get("uri")
         if uri is None:
-            raise NotImplementedError("GLB binary chunk not supported yet")
-        if uri.startswith("data:"):
+            if bin_chunk is None:
+                raise ValueError("uri-less buffer outside a GLB container")
+            out.append(bin_chunk)  # GLB: buffer 0 is the BIN chunk
+        elif uri.startswith("data:"):
             out.append(base64.b64decode(uri.split(",", 1)[1]))
         else:
             with open(os.path.join(base_dir, uri), "rb") as f:
@@ -190,14 +223,48 @@ def _load_buffers(gltf: dict, base_dir: str) -> List[bytes]:
     return out
 
 
+_GLB_MAGIC = 0x46546C67  # "glTF"
+_GLB_JSON = 0x4E4F534A  # "JSON"
+_GLB_BIN = 0x004E4942  # "BIN\0"
+
+
+def _parse_glb(raw: bytes) -> Tuple[dict, Optional[bytes]]:
+    """Parse a GLB container: 12-byte header then (length, type, data)
+    chunks — JSON scene + optional BIN buffer (glTF 2.0 §4.4; the reference
+    handles this via cgltf_parse's GLB branch)."""
+    magic, version, length = np.frombuffer(raw, np.uint32, 3, 0)
+    if magic != _GLB_MAGIC:
+        raise ValueError("not a GLB file (bad magic)")
+    if version != 2:
+        raise ValueError(f"unsupported GLB version {version}")
+    off = 12
+    gltf_json, bin_chunk = None, None
+    while off + 8 <= min(length, len(raw)):
+        chunk_len, chunk_type = np.frombuffer(raw, np.uint32, 2, off)
+        data = raw[off + 8 : off + 8 + int(chunk_len)]
+        if chunk_type == _GLB_JSON:
+            gltf_json = json.loads(data.decode("utf-8"))
+        elif chunk_type == _GLB_BIN:
+            bin_chunk = data
+        off += 8 + int(chunk_len) + ((-int(chunk_len)) % 4)
+    if gltf_json is None:
+        raise ValueError("GLB missing JSON chunk")
+    return gltf_json, bin_chunk
+
+
 def decode_image(img: ImageData, base_dir: str) -> np.ndarray:
     """Decode to linear-light RGBA float32 (sRGB gamma-2.2 decode on color
     channels, matching ``image::read`` — ``image/image.cpp:124-141``)."""
     if img.pixels is not None:
         return img.pixels
+    import io
+
     from PIL import Image
 
-    with Image.open(os.path.join(base_dir, img.uri)) as im:
+    src = io.BytesIO(img.data) if img.data is not None else os.path.join(
+        base_dir, img.uri
+    )
+    with Image.open(src) as im:
         im = im.convert("RGBA")
         raw_u8 = np.asarray(im, np.uint8)
     # u8 inputs take only 256 values, so gamma decode is an exact LUT (the
@@ -220,13 +287,19 @@ def load(
     scene_work: Optional[Dict[str, List[int]]] = None,
     decode_textures: bool = True,
 ) -> SceneData:
-    """Load a glTF file.  ``scene_work`` restricts loading to the given
-    ``{mesh_name: [primitive indices]}`` shard (partial loading, the
-    distributed-scene hook — reference ``load_gltf.cpp:95-105``)."""
+    """Load a glTF 2.0 file — text ``.gltf`` or binary ``.glb`` container
+    (sniffed by magic, not extension).  ``scene_work`` restricts loading to
+    the given ``{mesh_name: [primitive indices]}`` shard (partial loading,
+    the distributed-scene hook — reference ``load_gltf.cpp:95-105``)."""
     base_dir = os.path.dirname(os.path.abspath(path))
-    with open(path, "r") as f:
-        gltf = json.load(f)
-    buffers = _load_buffers(gltf, base_dir)
+    with open(path, "rb") as f:
+        raw = f.read()
+    bin_chunk = None
+    if raw[:4] == b"glTF":
+        gltf, bin_chunk = _parse_glb(raw)
+    else:
+        gltf = json.loads(raw.decode("utf-8"))
+    buffers = _load_buffers(gltf, base_dir, bin_chunk)
 
     # --- materials & images -------------------------------------------------
     image_srgb = {}  # image index -> srgb flag (first use wins)
@@ -394,8 +467,24 @@ def load(
     if camera is None:
         raise ValueError("Scene is missing a camera.")  # load_gltf.cpp:53
 
+    def image_bytes(img: dict) -> Optional[bytes]:
+        """Encoded image bytes for bufferView-sourced images (GLB) or
+        data: URIs; None for file-path URIs (decoded lazily from disk)."""
+        if "bufferView" in img:
+            view = gltf["bufferViews"][img["bufferView"]]
+            start = view.get("byteOffset", 0)
+            return bytes(buffers[view["buffer"]][start : start + view["byteLength"]])
+        uri = img.get("uri", "")
+        if uri.startswith("data:"):
+            return base64.b64decode(uri.split(",", 1)[1])
+        return None
+
     images = [
-        ImageData(uri=img.get("uri", ""), srgb=image_srgb.get(i, False))
+        ImageData(
+            uri=img.get("uri", ""),
+            srgb=image_srgb.get(i, False),
+            data=image_bytes(img),
+        )
         for i, img in enumerate(gltf.get("images", []))
     ]
     if decode_textures:
