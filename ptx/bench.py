@@ -35,24 +35,29 @@ from typing import Optional
 BASELINE_PATHS_PER_SEC = 1.996e5
 
 CORNELL = "/root/reference/path-tracer-core/scenes/cornell-box/cornell.gltf"
-JACK = "/root/reference/path-tracer-core/scenes/jack-of-blades/scene.gltf"
+JACK = (
+    "/root/reference/path-tracer-core/scenes/jack-of-blades/jack-of-blades.gltf"
+)
 
 # FLOPs per Moller-Trumbore ray-triangle test (ptx.geometry.moller_trumbore):
 # 2 crosses (9 ea) + 3 dots (5 ea) + 1 div + 3 sub + 3 scale + ~8 cmp/select.
 MT_FLOPS = 53
 
 # Public per-chip peaks for MFU accounting (the scaling-book numbers).
-# The intersection sweep is elementwise VPU work, NOT MXU matmuls — its
-# speed of light is the HBM roofline (every triangle tile streamed per ray
-# block) and the VPU issue rate, so `sol_hbm` is the meaningful fraction;
-# `mfu_vs_bf16_peak` is reported against the MXU peak for comparability.
+# The intersection sweep is elementwise VPU work, NOT MXU matmuls (the
+# ray-triangle test is a rank-4 contraction, so an MXU formulation caps at
+# K/128 = 3% utilization — see the measured verdict in
+# run_pallas_roofline's docstring): its speed of light is min(VPU issue
+# rate, HBM roofline).  The VPU peak is estimated as 8x128 lanes x 4 ALUs x
+# 2 FLOP (FMA) at the clock implied by the published bf16 MXU peak — i.e.
+# bf16_peak / 16 — since no vendor VPU number is published.
 CHIP_PEAKS = {
-    # name-substring: (peak bf16 FLOP/s, HBM bytes/s)
-    "v5 lite": (197e12, 819e9),
-    "v5e": (197e12, 819e9),
-    "v5p": (459e12, 2765e9),
-    "v4": (275e12, 1228e9),
-    "v6e": (918e12, 1640e9),
+    # name-substring: (peak bf16 MXU FLOP/s, est. f32 VPU FLOP/s, HBM B/s)
+    "v5 lite": (197e12, 12.3e12, 819e9),
+    "v5e": (197e12, 12.3e12, 819e9),
+    "v5p": (459e12, 28.7e12, 2765e9),
+    "v4": (275e12, 17.2e12, 1228e9),
+    "v6e": (918e12, 57.4e12, 1640e9),
 }
 
 
@@ -63,7 +68,7 @@ def _device_peaks():
     for key, peaks in CHIP_PEAKS.items():
         if key in name:
             return peaks
-    return (None, None)
+    return (None, None, None)
 
 
 def run_backward_bench(scene: Optional[str] = None, cfg=None) -> dict:
@@ -201,7 +206,7 @@ def run_intersect_roofline(n_rays: int = 65536, n_tris: int = 65536) -> dict:
     # within a block), rays in (24 B), hit payload out (~64 B).
     n_blocks = max(n_rays // 2048, 1)
     bytes_min = t_padded * 36 * n_blocks + n_rays * (24 + 64)
-    peak_flops, peak_bw = _device_peaks()
+    peak_flops, peak_vpu, peak_bw = _device_peaks()
     achieved_flops = flops / dt
     achieved_bw = bytes_min / dt
     return {
@@ -211,11 +216,133 @@ def run_intersect_roofline(n_rays: int = 65536, n_tris: int = 65536) -> dict:
         "tri_tests_per_s": round(tests / dt, 1),
         "achieved_gflops": round(achieved_flops / 1e9, 1),
         "model_hbm_gbps": round(achieved_bw / 1e9, 1),
-        "mfu_vs_bf16_peak": (
-            round(achieved_flops / peak_flops, 4) if peak_flops else None
+        "sol_vpu": (
+            round(achieved_flops / peak_vpu, 4) if peak_vpu else None
         ),
         "sol_hbm": round(achieved_bw / peak_bw, 4) if peak_bw else None,
         "elapsed_s": round(dt, 4),
+    }
+
+
+def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
+    """Roofline of the PRODUCTION Pallas block-traversal sweep
+    (``ptx.kernels.intersect_pallas``) — BASELINE.md's speed-of-light
+    account for the intersection kernel that actually runs the flagship.
+
+    The executed work is exact, not modeled: an instrumented twin of the
+    kernel (identical loop, one extra i32 output) reports tiles actually
+    ground per ray block after front-to-back early exit, so
+
+    * FLOPs  = visited_tiles x RB x TT x MT_FLOPS  (the [RB,TT] MT matrix)
+    * DMA B  = visited_tiles x 32 KiB              (one 16xTT f32 tile each)
+
+    Achieved FLOP/s is compared against the VPU estimate (the MT test is a
+    rank-4 contraction: K=4 of a 128-deep systolic column caps an MXU
+    formulation at ~3% utilization, so the VPU is the honest ceiling — see
+    tools/mxu_mt.py for the measured accept/reject) and DMA bytes/s against
+    the HBM peak.  Timing covers the production ``closest_pallas`` call
+    (tile plan + kernel), the thing the flagship actually pays per bounce.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ptx import render as R
+    from ptx.config import RenderConfig
+    from ptx.kernels import intersect_pallas as ip
+
+    cfg = RenderConfig(width=256, height=256, samples=2, bounces=1,
+                       intersector="pallas", sort_rays="off")
+    fs, static = R.load_scene(f"synthetic:{n_tris}", quirks=cfg.quirks,
+                              device=False)
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
+
+    from ptx.scene import camera as pcamera
+    pixel_ids = jnp.arange(n_rays, dtype=jnp.int32) % (cfg.width * cfg.height)
+    sample_ids = jnp.arange(n_rays, dtype=jnp.int32) // (cfg.width * cfg.height)
+    orig, dirn = pcamera.generate_rays(
+        fs, pixel_ids, sample_ids, cfg.width, cfg.height, cfg.seed,
+        True, False,
+    )
+
+    # Exact executed work from the instrumented twin (same plan, same loop).
+    stats = jax.jit(lambda fs, o, d: ip.closest_pallas_stats(fs, o, d))
+    _, _, visited = stats(fs, orig, dirn)
+    visited_tiles = int(jnp.sum(visited))
+    n_blocks = int(visited.shape[0])
+
+    # Time the production sweep.
+    sweep = jax.jit(lambda fs, o, d: ip.closest_pallas(fs, o, d))
+    out = sweep(fs, orig, dirn)
+    jax.block_until_ready(out)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = sweep(fs, orig, dirn)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    tests = visited_tiles * ip.RB * ip.TT
+    flops = tests * MT_FLOPS
+    tile_bytes = 16 * ip.TT * 4  # one [16, TT] f32 tile per visit
+    bytes_dma = visited_tiles * tile_bytes + n_rays * (32 + 8)
+    peak_flops, peak_vpu, peak_bw = _device_peaks()
+    achieved = flops / dt
+    achieved_bw = bytes_dma / dt
+    return {
+        "metric": "pallas_intersect_roofline",
+        "rays": n_rays,
+        "tris": n_tris,
+        "visited_tiles": visited_tiles,
+        "avg_tiles_per_block": round(visited_tiles / max(n_blocks, 1), 2),
+        "tri_tests_per_s": round(tests / dt, 1),
+        "achieved_gflops": round(achieved / 1e9, 1),
+        "dma_hbm_gbps": round(achieved_bw / 1e9, 1),
+        "sol_vpu": round(achieved / peak_vpu, 4) if peak_vpu else None,
+        "sol_hbm": round(achieved_bw / peak_bw, 4) if peak_bw else None,
+        "elapsed_s": round(dt, 4),
+    }
+
+
+def extra_benches(tiny: bool = False):
+    """The ``extra`` sub-bench table: ``name -> zero-arg callable``.
+
+    ``tiny=True`` shrinks every entry to seconds-on-CPU sizes while walking
+    the SAME code paths (scene files, loaders, batching, grad) — the smoke
+    surface ``tests/test_bench.py`` runs so path/API breakage is caught
+    before the driver's TPU run (round 2's jack FileNotFoundError).
+    """
+    from ptx.config import RenderConfig
+
+    if tiny:
+        small = dict(width=16, height=16, samples=2, bounces=2,
+                     intersector="auto")
+        return {
+            "backward": lambda: run_backward_bench(
+                cfg=RenderConfig(**small)
+            ),
+            "intersect_roofline": lambda: run_intersect_roofline(
+                n_rays=2048, n_tris=2048
+            ),
+            "jack_256x256x4spp_b4_forward": lambda: run_scene_bench(
+                JACK, "jack_tiny_forward", RenderConfig(**small)
+            ),
+            "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
+                "synthetic:8192", "soup_tiny_forward", RenderConfig(**small)
+            ),
+        }
+    full = dict(width=256, height=256, samples=4, bounces=4,
+                intersector="pallas")
+    return {
+        "backward": run_backward_bench,
+        "intersect_roofline": run_intersect_roofline,
+        "pallas_intersect_roofline": run_pallas_roofline,
+        "jack_256x256x4spp_b4_forward": lambda: run_scene_bench(
+            JACK, "jack_256x256x4spp_b4_forward", RenderConfig(**full)
+        ),
+        "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
+            "synthetic:1000000", "soup1m_256x256x4spp_b4_forward",
+            RenderConfig(**full)
+        ),
     }
 
 
@@ -223,16 +350,21 @@ def run_bench(
     scene: Optional[str] = None,
     cfg=None,
     warmup_samples: int = 1,
+    tiny: bool = False,
 ) -> dict:
     import jax
 
     from ptx.config import RenderConfig
 
     if cfg is None:
-        cfg = RenderConfig(
-            width=256, height=256, samples=16, bounces=4,
-            intersector="pallas", shader="auto",
-        )
+        if tiny:
+            cfg = RenderConfig(width=32, height=32, samples=2, bounces=2,
+                               intersector="auto")
+        else:
+            cfg = RenderConfig(
+                width=256, height=256, samples=16, bounces=4,
+                intersector="pallas", shader="auto",
+            )
     result = run_scene_bench(
         scene or CORNELL, "cornell_256x256x16spp_b4_forward", cfg
     )
@@ -258,27 +390,13 @@ def run_bench(
             try:
                 extra[name] = fn()
             except Exception as e:  # pragma: no cover - bench resilience
+                if tiny:
+                    raise
                 extra[name] = {"error": repr(e)}
             extra[name]["total_s"] = round(time.perf_counter() - t0, 1)
             print(f"[bench] {name}: {extra[name]}", file=__import__("sys").stderr)
 
-        _run("backward", run_backward_bench)
-        _run("intersect_roofline", run_intersect_roofline)
-        _run(
-            "jack_256x256x4spp_b4_forward",
-            lambda: run_scene_bench(
-                JACK, "jack_256x256x4spp_b4_forward",
-                RenderConfig(width=256, height=256, samples=4, bounces=4,
-                             intersector="pallas"),
-            ),
-        )
-        _run(
-            "soup1m_256x256x4spp_b4_forward",
-            lambda: run_scene_bench(
-                "synthetic:1000000", "soup1m_256x256x4spp_b4_forward",
-                RenderConfig(width=256, height=256, samples=4, bounces=4,
-                             intersector="pallas"),
-            ),
-        )
+        for name, fn in extra_benches(tiny).items():
+            _run(name, fn)
         result["extra"] = extra
     return result

@@ -257,9 +257,11 @@ def _tile_dma(tris_ref, order_ref, buf, sem, k, slot):
 
 
 def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
-                    t_ref, idx_ref, buf, sem):
+                    t_ref, idx_ref, buf, sem, visited_ref=None):
     t_ref[:] = jnp.full_like(t_ref, INF)
     idx_ref[:] = jnp.zeros_like(idx_ref)
+    if visited_ref is not None:
+        visited_ref[:] = jnp.zeros_like(visited_ref)
     cnt = count_ref[0, 0, 0]
 
     @pl.when(cnt > 0)
@@ -294,12 +296,24 @@ def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
         k_fin, _ = jax.lax.while_loop(
             lambda c: c[1], body, (jnp.int32(0), jnp.bool_(True))
         )
+        if visited_ref is not None:
+            # Exact executed-work account for the roofline bench: tiles
+            # actually ground by this block (early exit makes the planned
+            # count an over-estimate).
+            visited_ref[:] = jnp.broadcast_to(k_fin, visited_ref.shape)
 
         # An early exit leaves the speculative copy for k_fin in flight.
         @pl.when(k_fin < cnt)
         def _drain():
             _tile_dma(tris_ref, order_ref, buf, sem, k_fin,
                       jax.lax.rem(k_fin, 2)).wait()
+
+
+def _closest_stats_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
+                          t_ref, idx_ref, visited_ref, buf, sem):
+    """The closest kernel plus a per-block visited-tile count output."""
+    _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
+                    t_ref, idx_ref, buf, sem, visited_ref=visited_ref)
 
 
 def _any_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
@@ -477,6 +491,46 @@ def any_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
         interpret,
     )
     return hit[:r, 0] > 0
+
+
+def closest_pallas_stats(fs: FlatScene, orig, dirn, interpret: bool = False):
+    """Closest sweep returning ``(t, tri_idx, visited_tiles_per_block)`` —
+    the bench's exact executed-work account (``ptx.bench.run_pallas_roofline``).
+    Requires a scene above the SMALL_TILES fast path."""
+    rays, r_pad = _pack_rays(orig, dirn)
+    tris, boxes = pack_tris(fs)
+    n_tiles = tris.shape[0]
+    if n_tiles <= SMALL_TILES:
+        raise ValueError("stats sweep needs > SMALL_TILES tiles")
+    nb = r_pad // RB
+    order, count, near = _plan_tiles(rays, boxes)
+    out_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t, idx, visited = pl.pallas_call(
+        _closest_stats_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, order.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, near.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, TT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(order[:, None, :], count[:, None, None], near[:, None, :], rays, tris)
+    return t[:, 0], idx[:, 0], visited[::RB, 0]
 
 
 def make_backend(static: Optional[SceneStatic] = None, interpret: Optional[bool] = None):

@@ -182,6 +182,17 @@ def make_distributed_sample_fn(
     from ptx.kernels import sorting
     from ptx.render import get_backend, resolve_shader
 
+    if plan.scene_sharded and static.n_bvh_nodes > 0 and not static.shard_local:
+        # A globally-built BVH must never run under a scene-sharded plan:
+        # its leaf ranges index the *global* triangle order, so each device
+        # would silently intersect the wrong shard-local triangles (round
+        # 1's wrong-image bug).  Build the scene with
+        # ptx.parallel.shard_scene.build_shard_scene (or prepare_scene).
+        raise ValueError(
+            "scene-sharded plan with a globally-built BVH: prepare the "
+            "scene with prepare_scene()/build_shard_scene() so every shard "
+            "holds a self-contained BVH over its own triangles"
+        )
     # The compacted bounce loop sorts the wavefront itself — skip the
     # per-call backend sorting wrapper then (mirrors make_integrator_for).
     chunk_active = sorting.resolve_compact(static, cfg)

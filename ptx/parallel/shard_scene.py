@@ -160,6 +160,7 @@ def build_shard_scene(
         n_tris=max(counts),
         n_tris_padded=per_pad,
         n_bvh_nodes=n_nodes,
+        shard_local=True,
     )
     return fs_stacked, static_local
 

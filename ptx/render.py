@@ -201,10 +201,14 @@ def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
 
 
 # Upper bound on rays per integrator launch when auto-picking
-# samples_per_launch: 2^19 lanes keeps the wavefront SoA (~70 B/lane) plus
-# intermediates comfortably inside HBM while still amortizing per-launch
-# sort/plan/dispatch costs over ~8 cornell-sized frames.
-MAX_RAYS_PER_LAUNCH = 1 << 19
+# samples_per_launch.  MEASURED on TPU v5e (tools/sweep_k.py, cornell b4):
+# per-path cost is flat up to ~32k-ray launches and rises steadily past 64k
+# (65k: -5%, 131k: -19%, 262k: -26%, 524k: -25% vs the 16-32k optimum; the
+# regression tracks the intersect sweep, not sorting or the shader — see
+# tools/probe_k.py), while 4k-ray launches lose >2x to dispatch overhead.
+# 2^15 batches small frames to the optimum and leaves >=64k-pixel frames at
+# one sample per launch.
+MAX_RAYS_PER_LAUNCH = 1 << 15
 
 
 def resolve_samples_per_launch(cfg: RenderConfig) -> int:

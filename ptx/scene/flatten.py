@@ -124,6 +124,12 @@ class SceneStatic:
     tex_slot_used: tuple = (True,) * 7
     opacity_shares_albedo: bool = False
     metallic_shares_roughness: bool = False
+    # True only for the per-device view produced by
+    # ptx.parallel.shard_scene.build_shard_scene: triangle/BVH arrays are
+    # stacked shard-local chunks.  Guards against round 1's silent
+    # wrong-image bug (a globally-built BVH sharded or replicated over
+    # sharded triangles).
+    shard_local: bool = False
 
 
 def flatten(

@@ -32,9 +32,12 @@ def test_batched_render_matches_per_sample(tb):
 
 
 def test_resolve_samples_per_launch_auto():
+    # Measured launch-size optimum (tools/sweep_k.py): <= 2^15 rays/launch.
     cfg = RenderConfig(width=256, height=256, samples=16)
-    assert R.resolve_samples_per_launch(cfg) == 8  # 2^19 / 65536
-    cfg = RenderConfig(width=256, height=256, samples=4)
+    assert R.resolve_samples_per_launch(cfg) == 1  # 64k-pixel frame: k=1
+    cfg = RenderConfig(width=64, height=64, samples=64)
+    assert R.resolve_samples_per_launch(cfg) == 8  # 2^15 / 4096
+    cfg = RenderConfig(width=64, height=64, samples=4)
     assert R.resolve_samples_per_launch(cfg) == 4  # capped by samples
     cfg = RenderConfig(width=2048, height=2048, samples=16)
     assert R.resolve_samples_per_launch(cfg) == 1  # frame exceeds the cap

@@ -1,0 +1,42 @@
+"""Smoke-test the whole bench surface at tiny sizes on CPU.
+
+Round 2's jack sub-bench died on a wrong scene path and shipped an
+``{"error": ...}`` entry to the driver; this walks every bench entry —
+same scene files, same code paths, tiny shapes — so path/API breakage
+fails CI instead of the TPU run (VERDICT r2 task 2).
+"""
+
+import json
+
+from ptx import bench
+
+
+def test_tiny_bench_has_all_entries_and_no_errors(tmp_path, monkeypatch):
+    monkeypatch.setenv("PTX_BENCH_FULL", "1")
+    monkeypatch.setenv("PTX_BENCH_BUDGET_S", "100000")
+    result = bench.run_bench(tiny=True)
+
+    assert result["unit"] == "paths/s"
+    assert result["value"] > 0
+    assert "vs_baseline" in result
+
+    extra = result["extra"]
+    expected = set(bench.extra_benches(tiny=True))
+    assert expected <= set(extra), f"missing entries: {expected - set(extra)}"
+    for name, entry in extra.items():
+        assert "error" not in entry, f"{name}: {entry}"
+        assert "skipped" not in entry, f"{name}: {entry}"
+
+    # The driver prints this as one JSON line — it must serialize.
+    json.dumps(result)
+
+
+def test_full_extra_bench_table_entries_are_callable():
+    # The full-size table must name the same code paths the tiny one walks
+    # (so the smoke run really covers the driver's run), plus the
+    # Pallas roofline which needs real hardware timing.
+    tiny = set(bench.extra_benches(tiny=True))
+    full = set(bench.extra_benches(tiny=False))
+    assert tiny <= full
+    for fn in bench.extra_benches(tiny=False).values():
+        assert callable(fn)
