@@ -49,6 +49,19 @@ def _add_render_args(p: argparse.ArgumentParser):
                    help="debug visualization instead of a beauty render")
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--distributed", action="store_true",
+                   help="render over the full device mesh (multi-chip/host; "
+                        "initializes jax.distributed on pods)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="force the scene-sharding axis size (default: "
+                        "planner picks from scene size vs HBM)")
+    p.add_argument("--comm", default="reduce", choices=["reduce", "ring"],
+                   help="scene-axis exchange: psum-min reduce or ring "
+                        "ppermute schedule")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR (TensorBoard/xprof)")
+    p.add_argument("--metrics", action="store_true",
+                   help="print per-phase timing/throughput at the end")
 
 
 def _config_from_args(args):
@@ -106,14 +119,43 @@ def cmd_render(args) -> int:
     def progress(done, total):
         print(f"\rsample {done}/{total}", end="", file=sys.stderr)
 
+    from ptx.utils import Metrics, profiler_trace
+
+    metrics = Metrics() if (args.metrics or args.profile) else None
     t0 = time.time()
-    res = R.render(fs, static, cfg, progress=progress,
-                   checkpoint_path=args.checkpoint,
-                   checkpoint_every=args.checkpoint_every)
+    with profiler_trace(args.profile):
+        if args.distributed:
+            import numpy as np
+
+            from ptx.parallel import dist as pdist
+            from ptx.parallel import mesh as pmesh
+            from ptx.parallel import multihost
+
+            multihost.initialize()
+            plan = pmesh.plan(
+                static.n_tris_padded,
+                n_texels=int(np.asarray(fs.tex_texels).shape[0]),
+                force_tp=args.tp,
+            )
+            print(f"mesh plan: dp={plan.dp} tp={plan.tp} "
+                  f"scene_sharded={plan.scene_sharded} "
+                  f"shard_textures={plan.shard_textures} comm={args.comm}",
+                  file=sys.stderr)
+            res = pdist.render_distributed(
+                fs, static, cfg, plan=plan, comm=args.comm,
+                progress=progress, checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every, metrics=metrics)
+        else:
+            res = R.render(fs, static, cfg, progress=progress,
+                           checkpoint_path=args.checkpoint,
+                           checkpoint_every=args.checkpoint_every,
+                           metrics=metrics)
     dt = time.time() - t0
     rays = cfg.width * cfg.height * cfg.samples
     print(f"\nrendered {rays} primary rays in {dt:.2f}s "
           f"({rays / dt:,.0f} paths/s)", file=sys.stderr)
+    if metrics is not None:
+        print(metrics.report(), file=sys.stderr)
     write_png(args.out, res.image)
     print(f"wrote {args.out}", file=sys.stderr)
     return 0

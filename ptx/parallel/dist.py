@@ -26,7 +26,6 @@ machinery serves the inverse-rendering data-parallel gradient all-reduce.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -168,9 +167,17 @@ def make_distributed_sample_fn(
     mesh: Mesh,
     plan: pmesh.Plan,
     comm: str = "reduce",
+    k: int = 1,
 ):
-    """Jitted SPMD ``(fs, sample_id) -> (radiance [P,3], alpha [P])`` over the
-    whole mesh: pixels sharded along ``dp``, scene optionally along ``tp``.
+    """Jitted SPMD sample pass over the whole mesh: pixels sharded along
+    ``dp``, scene optionally along ``tp``.
+
+    With ``k == 1``: ``(fs, sample_id) -> (radiance [P,3], alpha [P])``.
+    With ``k > 1``: ``(fs, sample0) -> (radiance [k,P,3], alpha [k,P])`` —
+    samples ``sample0 .. sample0+k-1`` traced in ONE launch (the same
+    sample-batching as the single-chip ``make_batched_sample_fn``; the
+    launch-size cap applies to the per-chip wavefront, so dp-sharded frames
+    batch more).
 
     ``comm`` picks the scene-axis exchange:
     * ``"reduce"`` — rays replicated over ``tp``; winning hits resolved by a
@@ -222,8 +229,9 @@ def make_distributed_sample_fn(
     # single-chip make_integrator_for, so multi-chip keeps the fused Pallas
     # shading path instead of falling back to the XLA integrator.
     n_pixels = cfg.width * cfg.height
+    lanes = n_pixels * k
     ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)
-    rays_per_chip = n_pixels // max(ray_ways, 1)
+    rays_per_chip = lanes // max(ray_ways, 1)
     if resolve_shader(cfg) == "pallas" and rays_per_chip % 128 == 0:
         from ptx.kernels.shade_pallas import make_pallas_integrator
 
@@ -235,9 +243,9 @@ def make_distributed_sample_fn(
             static, cfg, closest, any_hit, live_sync=live_sync
         )
 
-    if n_pixels % ray_ways:
+    if lanes % ray_ways:
         raise ValueError(
-            f"pixel count {n_pixels} must divide the ray sharding ({ray_ways})"
+            f"ray count {lanes} must divide the ray sharding ({ray_ways})"
         )
 
     fs_specs = pmesh.scene_shardings(
@@ -257,13 +265,26 @@ def make_distributed_sample_fn(
         check_vma=False,
     )
 
-    @jax.jit
-    def sample_pass(fs: FlatScene, sample_id):
-        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
-        sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
-        return inner(fs, pixel_ids, sample_ids)
+    if k == 1:
 
-    return sample_pass
+        @jax.jit
+        def sample_pass(fs: FlatScene, sample_id):
+            pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+            sample_ids = jnp.full((n_pixels,), sample_id, jnp.int32)
+            return inner(fs, pixel_ids, sample_ids)
+
+        return sample_pass
+
+    @jax.jit
+    def batch_pass(fs: FlatScene, sample0):
+        pixel_ids = jnp.tile(jnp.arange(n_pixels, dtype=jnp.int32), k)
+        sample_ids = sample0 + jnp.repeat(
+            jnp.arange(k, dtype=jnp.int32), n_pixels
+        )
+        radiance, alpha = inner(fs, pixel_ids, sample_ids)
+        return radiance.reshape(k, n_pixels, 3), alpha.reshape(k, n_pixels)
+
+    return batch_pass
 
 
 def prepare_scene(
@@ -309,14 +330,15 @@ def render_distributed(
     comm: str = "reduce",
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 5,
+    metrics=None,
 ):
     """Multi-chip progressive render (same contract as ``ptx.render.render``,
     including checkpoint/resume — the accumulated mean + sample count is
     device-layout-independent, so a checkpoint written here resumes on any
-    mesh shape, or single-chip)."""
-    from ptx.integrator import accumulate
-    from ptx.io import checkpoint as ckpt_mod
-    from ptx.render import RenderResult, _update_claim, _update_mean
+    mesh shape, or single-chip).  Shares the launch strategy with the
+    single-chip path: samples are fused into wide launches up to the measured
+    per-chip ray cap (``ptx.render.MAX_RAYS_PER_LAUNCH``)."""
+    from ptx.render import progressive_render, resolve_samples_per_launch
 
     if plan is None:
         plan = pmesh.plan(
@@ -325,72 +347,16 @@ def render_distributed(
     if mesh is None:
         mesh = pmesh.make_mesh(plan)
     fs, static = prepare_scene(fs, static, cfg, plan, mesh)
-    sample_fn = make_distributed_sample_fn(static, cfg, mesh, plan, comm)
-
-    p = cfg.width * cfg.height
-    if cfg.transparent_background:
-        carry = (jnp.zeros((p, 3)), jnp.zeros((p,)), jnp.zeros((p,), bool))
-    else:
-        carry = (jnp.zeros((p, 3)), jnp.zeros((p,)))
-
-    start_sample = 0
-    fingerprint = None
-    if checkpoint_path is not None:
-        fingerprint = ckpt_mod.config_fingerprint(cfg)
-        loaded = ckpt_mod.load(checkpoint_path, fingerprint)
-        if loaded is not None and 0 < loaded.samples_done <= cfg.samples:
-            start_sample = loaded.samples_done
-            if cfg.transparent_background:
-                carry = (
-                    jnp.asarray(loaded.color),
-                    jnp.asarray(loaded.alpha),
-                    jnp.asarray(
-                        loaded.claimed
-                        if loaded.claimed is not None
-                        else np.zeros(p, bool)
-                    ),
-                )
-            else:
-                carry = (jnp.asarray(loaded.color), jnp.asarray(loaded.alpha))
-
-    def write_checkpoint(done):
-        ckpt_mod.save(
-            checkpoint_path,
-            ckpt_mod.Checkpoint(
-                color=np.asarray(carry[0]),
-                alpha=np.asarray(carry[1]),
-                claimed=(
-                    np.asarray(carry[2]) if cfg.transparent_background else None
-                ),
-                samples_done=done,
-                fingerprint=fingerprint,
-            ),
-        )
-
-    for s in range(start_sample, cfg.samples):
-        radiance, alpha = sample_fn(fs, jnp.int32(s))
-        n = jnp.float32(s)
-        if cfg.transparent_background:
-            carry = _update_claim(carry, radiance, alpha, n)
-        else:
-            carry = _update_mean(carry, radiance, alpha, n)
-        if progress is not None:
-            progress(s + 1, cfg.samples)
-        if (
-            checkpoint_path is not None
-            and (s + 1) % checkpoint_every == 0
-            and (s + 1) < cfg.samples
-        ):
-            write_checkpoint(s + 1)
-
-    if checkpoint_path is not None:
-        write_checkpoint(cfg.samples)
-
-    color, alpha = carry[0], carry[1]
-    image = accumulate.finalize(color, alpha)
-    h, w = cfg.height, cfg.width
-    return RenderResult(
-        color=np.asarray(color).reshape(h, w, 3),
-        alpha=np.asarray(alpha).reshape(h, w),
-        image=np.asarray(image).reshape(h, w, 4),
+    ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)
+    k = resolve_samples_per_launch(cfg, ways=ray_ways)
+    fn = make_distributed_sample_fn(static, cfg, mesh, plan, comm, k=k)
+    return progressive_render(
+        fs, static, cfg,
+        sample_fn=fn if k == 1 else None,
+        batch_fn=fn if k > 1 else None,
+        k=k,
+        progress=progress,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
+        metrics=metrics,
     )

@@ -211,11 +211,15 @@ def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
 MAX_RAYS_PER_LAUNCH = 1 << 15
 
 
-def resolve_samples_per_launch(cfg: RenderConfig) -> int:
-    """How many image samples to fuse into one wavefront launch."""
+def resolve_samples_per_launch(cfg: RenderConfig, ways: int = 1) -> int:
+    """How many image samples to fuse into one wavefront launch.
+
+    ``ways`` is the ray-sharding degree (dp, or dp*tp in ring mode): the
+    measured launch-size cap applies to the *per-chip* wavefront, so a
+    dp-sharded frame batches more samples per launch."""
     if cfg.rays_per_batch is not None:
         return 1  # chunked-frame mode already bounds the launch size
-    n_pixels = cfg.width * cfg.height
+    n_pixels = cfg.width * cfg.height // max(ways, 1)
     if cfg.samples_per_launch is not None:
         return max(1, min(cfg.samples_per_launch, cfg.samples))
     return max(1, min(cfg.samples, MAX_RAYS_PER_LAUNCH // max(n_pixels, 1)))
@@ -330,6 +334,7 @@ def render(
     progress: Optional[callable] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 5,
+    metrics=None,
 ) -> RenderResult:
     """Render ``cfg.samples`` progressive sample passes.
 
@@ -338,14 +343,45 @@ def render(
     cadence, ``renderer.cpp:409``); the absolute-sample-id RNG makes the
     resumed image identical to an uninterrupted run.
     """
-    from ptx.io import checkpoint as ckpt_mod
-
     fs, static = ensure_accel(fs, static, cfg, device=True)
     k = resolve_samples_per_launch(cfg)
     if k > 1:
-        batch_fn = make_batched_sample_fn(static, cfg, k)
+        batch_fn, sample_fn = make_batched_sample_fn(static, cfg, k), None
     else:
-        sample_fn = make_sample_fn(static, cfg)
+        batch_fn, sample_fn = None, make_sample_fn(static, cfg)
+    return progressive_render(
+        fs, static, cfg, sample_fn, batch_fn, k,
+        progress=progress,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
+        metrics=metrics,
+    )
+
+
+def progressive_render(
+    fs: FlatScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    sample_fn,
+    batch_fn,
+    k: int,
+    progress: Optional[callable] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 5,
+    metrics=None,
+    gather_result=None,
+) -> RenderResult:
+    """The progressive sample loop shared by single-chip :func:`render` and
+    :func:`ptx.parallel.dist.render_distributed`: running-mean / claim-blend
+    accumulation, checkpoint/resume, optional per-phase metrics.
+
+    Exactly one of ``sample_fn`` (k == 1) / ``batch_fn`` (k > 1 samples fused
+    per launch) drives the trace.  ``gather_result`` post-processes the final
+    ``(color, alpha)`` device arrays before host transfer (the multi-host
+    full-image allgather hook).
+    """
+    from ptx.io import checkpoint as ckpt_mod
+
     p = cfg.width * cfg.height
     if cfg.transparent_background:
         carry = (jnp.zeros((p, 3)), jnp.zeros((p,)), jnp.zeros((p,), bool))
@@ -386,28 +422,45 @@ def render(
             ),
         )
 
+    import contextlib
+
+    def phase(name, items=0.0, block=None):
+        if metrics is None:
+            return contextlib.nullcontext()
+        return metrics.phase(name, items=items, block=block)
+
     s = start_sample
     last_ckpt = start_sample // checkpoint_every
     while s < cfg.samples:
         n = jnp.float32(s)
         if k > 1:
             count = min(k, cfg.samples - s)
-            colors, alphas = batch_fn(fs, jnp.int32(s))
-            if cfg.transparent_background:
-                carry = _update_claim_batch(
-                    carry, colors, alphas, n, jnp.int32(count)
-                )
-            else:
-                carry = _update_mean_batch(
-                    carry, colors, alphas, n, jnp.float32(count)
-                )
+            with phase("trace", items=p * count) as _:
+                out = batch_fn(fs, jnp.int32(s))
+                if metrics is not None:
+                    jax.block_until_ready(out)
+            colors, alphas = out
+            with phase("accumulate"):
+                if cfg.transparent_background:
+                    carry = _update_claim_batch(
+                        carry, colors, alphas, n, jnp.int32(count)
+                    )
+                else:
+                    carry = _update_mean_batch(
+                        carry, colors, alphas, n, jnp.float32(count)
+                    )
             s += count
         else:
-            radiance, alpha = sample_fn(fs, jnp.int32(s))
-            if cfg.transparent_background:
-                carry = _update_claim(carry, radiance, alpha, n)
-            else:
-                carry = _update_mean(carry, radiance, alpha, n)
+            with phase("trace", items=p):
+                out = sample_fn(fs, jnp.int32(s))
+                if metrics is not None:
+                    jax.block_until_ready(out)
+            radiance, alpha = out
+            with phase("accumulate"):
+                if cfg.transparent_background:
+                    carry = _update_claim(carry, radiance, alpha, n)
+                else:
+                    carry = _update_mean(carry, radiance, alpha, n)
             s += 1
         if progress is not None:
             progress(s, cfg.samples)
@@ -417,19 +470,24 @@ def render(
             and s < cfg.samples
         ):
             last_ckpt = s // checkpoint_every
-            write_checkpoint(s)
+            with phase("checkpoint"):
+                write_checkpoint(s)
 
     if checkpoint_path is not None:
         write_checkpoint(cfg.samples)
 
     color, alpha = carry[0], carry[1]
-    image = accumulate.finalize(color, alpha)
-    h, w = cfg.height, cfg.width
-    return RenderResult(
-        color=np.asarray(color).reshape(h, w, 3),
-        alpha=np.asarray(alpha).reshape(h, w),
-        image=np.asarray(image).reshape(h, w, 4),
-    )
+    if gather_result is not None:
+        color, alpha = gather_result(color, alpha)
+    with phase("finalize"):
+        image = accumulate.finalize(color, alpha)
+        h, w = cfg.height, cfg.width
+        result = RenderResult(
+            color=np.asarray(color).reshape(h, w, 3),
+            alpha=np.asarray(alpha).reshape(h, w),
+            image=np.asarray(image).reshape(h, w, 4),
+        )
+    return result
 
 
 def render_gltf(path: str, cfg: RenderConfig, **load_kwargs) -> RenderResult:

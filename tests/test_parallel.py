@@ -171,6 +171,42 @@ def test_every_backend_matches_single_device_under_scene_sharding(
     )
 
 
+@pytest.mark.parametrize("dp,tp,comm", [(8, 1, "reduce"), (4, 2, "reduce"),
+                                        (2, 4, "ring")])
+def test_distributed_sample_batching_matches_unbatched(cornell, dp, tp, comm):
+    """Distributed launches share the single-chip launch strategy: k samples
+    fused per launch must be bit-identical to one-launch-per-sample (the
+    counter RNG is keyed by absolute sample ids)."""
+    fs, static = cornell
+    plan = pmesh.Plan(dp=dp, tp=tp, scene_sharded=tp > 1)
+    meshdev = pmesh.make_mesh(plan)
+    batched = dist.render_distributed(
+        fs, static, _cfg(samples=4, samples_per_launch=4),
+        plan=plan, mesh=meshdev, comm=comm)
+    unbatched = dist.render_distributed(
+        fs, static, _cfg(samples=4, samples_per_launch=1),
+        plan=plan, mesh=meshdev, comm=comm)
+    np.testing.assert_allclose(
+        batched.color, unbatched.color, rtol=1e-6, atol=1e-7)
+
+
+def test_cli_distributed_render(tmp_path):
+    """The public distributed entry point (the reference's GET /preprocess
+    fan-out, cloudformation/path-tracer-preprocessor.yaml:47-51) — CLI flags
+    drive the planner + mesh render end-to-end on the CPU mesh."""
+    from ptx.cli import main
+
+    out = tmp_path / "dist.png"
+    rc = main([
+        "render", "--scene", CORNELL, "--out", str(out),
+        "--width", "16", "--height", "16", "--samples", "2",
+        "--bounces", "2", "--intersector", "brute",
+        "--distributed", "--tp", "2", "--comm", "reduce", "--metrics",
+    ])
+    assert rc == 0
+    assert out.exists()
+
+
 @pytest.mark.parametrize("tp,comm", [(2, "reduce"), (4, "reduce"), (2, "ring")])
 def test_chunked_compaction_under_scene_sharding(tp, comm):
     """Survivor compaction + scene-sharded collectives: the chunk/bounce
