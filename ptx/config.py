@@ -82,8 +82,13 @@ class RenderConfig:
     samples: int = 50  # worker.hpp:22
     bounces: int = 10  # worker.hpp:23
     # Extra wavefront iterations to absorb stochastic-opacity passthroughs
-    # (which do not consume a bounce — shading_worker.cpp:54-63).
-    opacity_extra_iters: int = 8
+    # (which do not consume a bounce — shading_worker.cpp:54-63; the
+    # reference re-enqueues indefinitely).  The loop is liveness-driven, so
+    # a generous cap costs nothing at runtime; truncation error is bounded
+    # by (1 - opacity)^E of the transmitted radiance (tests/test_opacity.py
+    # measures the bound on a worst-case 16-deep stack).  32 makes any
+    # stack at opacity >= 0.35 exact to < 1e-6.
+    opacity_extra_iters: int = 32
     environment_factor: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     transparent_background: bool = False
     seed: int = 0
