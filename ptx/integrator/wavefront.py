@@ -96,7 +96,7 @@ def _env_radiance(fs: FlatScene, static: SceneStatic, cfg: RenderConfig, dirn):
     if static.env_tex >= 0:
         uv = pmath.equirectangular_proj(dirn)
         tex = jnp.full(dirn.shape[:-1], static.env_tex, jnp.int32)
-        return textures.sample_texture(fs, tex, uv)[..., :3] * env_factor
+        return textures.sample_texture(fs, tex, uv, static)[..., :3] * env_factor
     return jnp.broadcast_to(env_factor, dirn.shape)
 
 

@@ -200,6 +200,13 @@ def make_distributed_sample_fn(
             "scene with prepare_scene()/build_shard_scene() so every shard "
             "holds a self-contained BVH over its own triangles"
         )
+    if static.tex_shard_len > 0 and comm == "ring":
+        # The sharded-texel gather psums over the scene axis, which requires
+        # every tp chip to hold the SAME rays; ring mode shards rays over tp.
+        raise ValueError(
+            "sharded textures (tex_shard_len > 0) require comm='reduce' "
+            "(rays replicated over tp); ring mode shards rays over tp"
+        )
     # The compacted bounce loop sorts the wavefront itself — skip the
     # per-call backend sorting wrapper then (mirrors make_integrator_for).
     chunk_active = sorting.resolve_compact(static, cfg)
@@ -251,6 +258,7 @@ def make_distributed_sample_fn(
     fs_specs = pmesh.scene_shardings(
         mesh, plan.scene_sharded,
         shard_bvh=plan.scene_sharded and static.n_bvh_nodes > 0,
+        shard_tex=plan.scene_sharded and static.tex_shard_len > 0,
     )
     if comm == "ring" and plan.scene_sharded:
         ids_spec = P((pmesh.AXIS_RAYS, pmesh.AXIS_SCENE))
@@ -306,11 +314,21 @@ def prepare_scene(
     the per-device view inside ``shard_map``.
     """
     if plan.scene_sharded:
-        from ptx.parallel.shard_scene import build_shard_scene
+        from ptx.parallel.shard_scene import (
+            build_shard_scene, build_texture_shards,
+        )
 
         fs, static = build_shard_scene(fs, static, plan, cfg)
+        if plan.shard_textures:
+            # Texture bytes bust the per-chip budget: bin-pack whole
+            # textures into tp shards; gathers psum across the scene axis
+            # (sample_texture).  The reference's per-worker texture
+            # residency (preprocessor.py:104-111, load_gltf.cpp:142-162).
+            fs, static = build_texture_shards(fs, static, plan.tp)
         fs = pmesh.shard_scene(
-            fs, mesh, True, shard_bvh=static.n_bvh_nodes > 0
+            fs, mesh, True,
+            shard_bvh=static.n_bvh_nodes > 0,
+            shard_tex=static.tex_shard_len > 0,
         )
     else:
         from ptx.render import ensure_accel
@@ -346,6 +364,12 @@ def render_distributed(
         )
     if mesh is None:
         mesh = pmesh.make_mesh(plan)
+    if plan.shard_textures and comm == "ring":
+        raise ValueError(
+            "plan shards textures but comm='ring' shards rays over tp; "
+            "sharded-texel gathers need rays replicated over tp — use "
+            "comm='reduce' (or force a plan with replicated textures)"
+        )
     fs, static = prepare_scene(fs, static, cfg, plan, mesh)
     ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)
     k = resolve_samples_per_launch(cfg, ways=ray_ways)

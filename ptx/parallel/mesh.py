@@ -120,16 +120,23 @@ def make_mesh(p: Plan, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, (AXIS_RAYS, AXIS_SCENE))
 
 
-def scene_shardings(mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False):
+def scene_shardings(mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False,
+                    shard_tex: bool = False):
     """Per-leaf PartitionSpecs for a FlatScene: triangle-indexed arrays split
-    along the scene axis, the rest (materials, textures, camera) replicated.
+    along the scene axis, the rest (materials, camera) replicated.
 
     ``shard_bvh`` additionally splits the BVH node arrays along the scene
     axis — only valid for scenes prepared by
     :func:`ptx.parallel.shard_scene.build_shard_scene`, whose per-shard node
     blocks hold *shard-local* leaf ranges.  A globally-built BVH must NEVER
     be sharded (its leaf ranges index the global triangle order) nor
-    replicated over sharded triangles (round 1's wrong-image bug)."""
+    replicated over sharded triangles (round 1's wrong-image bug).
+
+    ``shard_tex`` splits the texel pack along the scene axis — only valid
+    for packs rebuilt by
+    :func:`ptx.parallel.shard_scene.build_texture_shards` (whole-texture
+    bins stacked to ``tp`` equal lengths; ``SceneStatic.tex_shard_len``
+    carries the bin length the sampler needs)."""
     from ptx.scene.flatten import FlatScene
 
     tri_fields = {
@@ -144,14 +151,17 @@ def scene_shardings(mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False):
             spec[field] = P(AXIS_SCENE)
         elif scene_sharded and shard_bvh and field in bvh_fields:
             spec[field] = P(AXIS_SCENE)
+        elif scene_sharded and shard_tex and field == "tex_texels":
+            spec[field] = P(AXIS_SCENE)
         else:
             spec[field] = P()
     return FlatScene(**spec)
 
 
-def shard_scene(fs, mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False):
+def shard_scene(fs, mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False,
+                shard_tex: bool = False):
     """Place a FlatScene on the mesh according to the plan."""
-    specs = scene_shardings(mesh, scene_sharded, shard_bvh)
+    specs = scene_shardings(mesh, scene_sharded, shard_bvh, shard_tex)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), fs, specs
     )

@@ -167,3 +167,82 @@ def build_shard_scene(
 
 def jax_to_numpy(fs: FlatScene) -> FlatScene:
     return FlatScene(*(np.asarray(x) for x in fs))
+
+
+def texture_bins(sizes: List[int], tp: int) -> List[int]:
+    """Greedy balanced bin assignment: textures (by texel count) land in the
+    currently-lightest of ``tp`` bins, largest first — the equal-*bytes*
+    split of the reference partitioner (``preprocessor.py:104-111`` budgets
+    by texture byte length via ``head_object``).  Returns bin index per
+    texture."""
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+    totals = [0] * tp
+    assign = [0] * len(sizes)
+    for i in order:
+        b = totals.index(min(totals))
+        assign[i] = b
+        totals[b] += sizes[i]
+    return assign
+
+
+def build_texture_shards(
+    fs: FlatScene,
+    static: SceneStatic,
+    tp: int,
+    pad_multiple: int = 8,
+) -> Tuple[FlatScene, SceneStatic]:
+    """Split the texel pack into ``tp`` whole-texture bins (host-side).
+
+    The reference shards *texture bytes* across workers — the partitioner
+    budgets by per-primitive texture size (``preprocessor.py:104-111``) and
+    each worker downloads only its shard's textures
+    (``load_gltf.cpp:142-162``).  The TPU analog: bin-pack whole textures
+    into ``tp`` balanced bins, rebuild the pack as ``[tp * per_shard, 4]``
+    with bin ``b``'s textures contiguous at global offset ``b * per_shard``,
+    and shard it along the scene axis.  ``tex_offset`` stays global, so
+    addressing in :func:`ptx.scene.textures.sample_texture` is unchanged;
+    sharded gathers mask to the local range and psum across tp.
+
+    Whole-texture bins guarantee all four bilinear corners of any sample
+    live on one shard (the lerp happens before the psum).  Returns
+    ``(fs, static)`` with the rebuilt pack/offsets and
+    ``static.tex_shard_len = per_shard``.
+    """
+    if tp <= 1:
+        raise ValueError("build_texture_shards requires tp > 1")
+    texels = np.asarray(fs.tex_texels)
+    offsets = np.asarray(fs.tex_offset)
+    widths = np.asarray(fs.tex_width)
+    heights = np.asarray(fs.tex_height)
+    sizes = (widths.astype(np.int64) * heights).tolist()
+
+    assign = texture_bins(sizes, tp)
+    bin_totals = [0] * tp
+    for i, b in enumerate(assign):
+        bin_totals[b] += sizes[i]
+    per_shard = max(pad_multiple, -(-max(bin_totals) // pad_multiple) * pad_multiple)
+
+    # Sharded addressing keeps the texture offset in int32 and only the
+    # within-texture index in float32 (sample_texture), so the exactness
+    # guard is per-texture, not per-pack; int32 bounds the stacked pack.
+    if sizes and max(sizes) >= (1 << 24):
+        raise ValueError(
+            f"largest texture has {max(sizes)} texels (>= 2^24); float32 "
+            "within-texture addressing would lose exactness — mip it"
+        )
+    if tp * per_shard >= (1 << 31):
+        raise ValueError("stacked texel pack exceeds int32 addressing")
+
+    new_texels = np.zeros((tp * per_shard, 4), np.float32)
+    new_offsets = np.zeros_like(offsets)
+    cursors = [b * per_shard for b in range(tp)]
+    for i, b in enumerate(assign):
+        new_offsets[i] = cursors[b]
+        new_texels[cursors[b] : cursors[b] + sizes[i]] = texels[
+            offsets[i] : offsets[i] + sizes[i]
+        ]
+        cursors[b] += sizes[i]
+
+    fs = fs._replace(tex_texels=new_texels, tex_offset=new_offsets)
+    static = dataclasses.replace(static, tex_shard_len=per_shard)
+    return fs, static

@@ -130,6 +130,12 @@ class SceneStatic:
     # wrong-image bug (a globally-built BVH sharded or replicated over
     # sharded triangles).
     shard_local: bool = False
+    # > 0 only for the per-device view produced by
+    # ptx.parallel.shard_scene.build_texture_shards: the texel pack is split
+    # along the scene axis into tp bins of this many texels (whole textures
+    # per bin); texel gathers mask to the local range and psum across tp
+    # (ptx.scene.textures.sample_texture).
+    tex_shard_len: int = 0
 
 
 def flatten(

@@ -28,7 +28,7 @@ from ptx.scene.flatten import (
 )
 
 
-def sample_texture(fs: FlatScene, tex_idx, uv):
+def sample_texture(fs: FlatScene, tex_idx, uv, static=None):
     """Bilinear sample.  ``tex_idx``: [R] i32 pack slots; ``uv``: [R, 2].
     Returns linear RGBA [R, 4].
 
@@ -38,6 +38,18 @@ def sample_texture(fs: FlatScene, tex_idx, uv):
     texture addressing the single hottest thing in the whole integrator
     (~25 ms/step); float fmod is three fast VPU ops and exact for any texel
     index below 2^24 (flatten.py guards the pack size).
+
+    TEXTURE SHARDING: when ``static.tex_shard_len > 0`` the texel pack is
+    split along the scene (tp) axis (whole textures per shard —
+    ``ptx.parallel.shard_scene.build_texture_shards``), so this device holds
+    only texels ``[axis_index * len, (axis_index + 1) * len)`` of the global
+    pack.  ``tex_offset`` stays in *global* coordinates; each corner gather
+    is masked to the local range and the bilinear result (all four corners
+    of a sample live on one shard, because textures never straddle bins)
+    rides ONE ``psum`` over the scene axis — the one-hot reduce that stands
+    in for the reference's per-worker texture residency
+    (``load_gltf.cpp:142-162``).  Requires rays replicated over tp (the
+    "reduce" comm mode); only valid inside ``shard_map``.
     """
     w = fs.tex_width[tex_idx].astype(jnp.float32)
     h = fs.tex_height[tex_idx].astype(jnp.float32)
@@ -61,9 +73,29 @@ def sample_texture(fs: FlatScene, tex_idx, uv):
     y0f = fwrap(y0, h)
     y1f = fwrap(y0 + 1.0, h)
 
-    def texel(xf, yf):
-        idx = (off + yf * w + xf).astype(jnp.int32)
-        return fs.tex_texels[idx]
+    shard_len = getattr(static, "tex_shard_len", 0) if static is not None else 0
+    if shard_len > 0:
+        import jax
+        from ptx.parallel.mesh import AXIS_SCENE
+
+        base = jax.lax.axis_index(AXIS_SCENE) * shard_len
+        # The stacked pack can exceed the 2^24 f32-exact range, so only the
+        # *within-texture* index rides float (exact: one texture < 2^24
+        # texels, guarded by build_texture_shards); the texture offset stays
+        # int32 — one extra integer add, no integer mod.
+        off_i = fs.tex_offset[tex_idx] - base
+
+        def texel(xf, yf):
+            local = off_i + (yf * w + xf).astype(jnp.int32)
+            ok = (local >= 0) & (local < shard_len)
+            v = fs.tex_texels[jnp.clip(local, 0, shard_len - 1)]
+            return jnp.where(ok[..., None], v, 0.0)
+
+    else:
+
+        def texel(xf, yf):
+            idx = (off + yf * w + xf).astype(jnp.int32)
+            return fs.tex_texels[idx]
 
     tl = texel(x0f, y0f)
     tr = texel(x1f, y0f)
@@ -71,7 +103,10 @@ def sample_texture(fs: FlatScene, tex_idx, uv):
     br = texel(x1f, y1f)
     top = pmath.lerp(tl, tr, dx[..., None])
     bot = pmath.lerp(bl, br, dx[..., None])
-    return pmath.lerp(top, bot, dy[..., None])
+    out = pmath.lerp(top, bot, dy[..., None])
+    if shard_len > 0:
+        out = jax.lax.psum(out, AXIS_SCENE)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +137,7 @@ def material_lookup(fs: FlatScene, mat_id, uv, static=None):
 
     alb_rgba = None
     if used[SLOT_ALBEDO] or (used[SLOT_OPACITY] and share_op):
-        alb_rgba = sample_texture(fs, tex[..., SLOT_ALBEDO], uv)
+        alb_rgba = sample_texture(fs, tex[..., SLOT_ALBEDO], uv, static)
     albedo = fs.mat_albedo[mat_id]
     if alb_rgba is not None and used[SLOT_ALBEDO]:
         albedo = albedo * alb_rgba[..., :3]
@@ -119,28 +154,28 @@ def material_lookup(fs: FlatScene, mat_id, uv, static=None):
                 1.0,
             )
         else:
-            op_a = sample_texture(fs, tex[..., SLOT_OPACITY], uv)[..., 3]
+            op_a = sample_texture(fs, tex[..., SLOT_OPACITY], uv, static)[..., 3]
         opacity = opacity * op_a
 
     # G channel = roughness, B = metallic (material.cpp:34-44).
     mr = None
     if used[SLOT_ROUGHNESS] or (used[SLOT_METALLIC] and share_mr):
-        mr = sample_texture(fs, tex[..., SLOT_ROUGHNESS], uv)
+        mr = sample_texture(fs, tex[..., SLOT_ROUGHNESS], uv, static)
     roughness = fs.mat_roughness[mat_id]
     if mr is not None and used[SLOT_ROUGHNESS]:
         roughness = roughness * mr[..., 1]
     metallic = fs.mat_metallic[mat_id]
     if used[SLOT_METALLIC]:
-        mb = mr if share_mr else sample_texture(fs, tex[..., SLOT_METALLIC], uv)
+        mb = mr if share_mr else sample_texture(fs, tex[..., SLOT_METALLIC], uv, static)
         metallic = metallic * mb[..., 2]
 
     emissive = fs.mat_emissive[mat_id]
     if used[SLOT_EMISSIVE]:
-        emissive = emissive * sample_texture(fs, tex[..., SLOT_EMISSIVE], uv)[..., :3]
+        emissive = emissive * sample_texture(fs, tex[..., SLOT_EMISSIVE], uv, static)[..., :3]
 
     # Normal map decode 2t - 1 (material.cpp:6-11).
     if used[SLOT_NORMAL]:
-        tangent_normal = sample_texture(fs, tex[..., SLOT_NORMAL], uv)[..., :3] * 2.0 - 1.0
+        tangent_normal = sample_texture(fs, tex[..., SLOT_NORMAL], uv, static)[..., :3] * 2.0 - 1.0
     else:
         tangent_normal = jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], jnp.float32), uv.shape[:-1] + (3,)

@@ -1,0 +1,175 @@
+"""Texture sharding along the scene (tp) axis.
+
+The reference partitions *texture bytes* across workers (the partitioner
+budgets by per-primitive texture size via ``head_object``,
+``preprocessor.py:104-111``) and each worker downloads only its shard's
+textures (``load_gltf.cpp:142-162``).  The TPU analog
+(``ptx.parallel.shard_scene.build_texture_shards``): whole textures
+bin-packed into tp balanced bins, the texel pack sharded along the scene
+axis, and every bilinear gather masked to the local range + psum'd across
+tp (``ptx.scene.textures.sample_texture``).  The invariant tested here:
+sharded-pack renders match replicated-pack renders bit-for-bit.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptx import render as R
+from ptx.config import RenderConfig
+from ptx.parallel import dist, mesh as pmesh
+from ptx.parallel.shard_scene import build_texture_shards, texture_bins
+from ptx.scene import textures
+from ptx.scene.flatten import flatten
+from ptx.scene.gltf import (
+    CameraData, ImageData, MaterialData, PrimitiveData, SceneData,
+)
+
+JACK = "/root/reference/path-tracer-core/scenes/jack-of-blades/jack-of-blades.gltf"
+
+
+def _checker(h, w, c0, c1):
+    img = np.empty((h, w, 4), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((yy // 2 + xx // 2) % 2).astype(bool)
+    img[mask] = c1
+    img[~mask] = c0
+    return img
+
+
+def textured_scene(n_textures=3):
+    """A fan of textured quads facing the camera, each with its own
+    checkerboard albedo (distinct sizes so binning is non-trivial), lit by
+    an emissive backdrop."""
+    prims, materials, images = [], [], []
+
+    def quad(z, half, cx, mesh, mat):
+        positions = np.array(
+            [[cx - half, -half, z], [cx + half, -half, z],
+             [cx + half, half, z], [cx - half, half, z]], np.float32
+        )
+        normals = np.tile(np.array([0, 0, 1], np.float32), (4, 1))
+        uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        tangents = np.zeros((4, 4), np.float32)
+        tangents[:, 0] = 1.0
+        tangents[:, 3] = 1.0
+        indices = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        return PrimitiveData(
+            mesh_name=mesh, prim_index=0, positions=positions,
+            normals=normals, uvs=uvs, tangents=tangents, indices=indices,
+            material=mat, world_basis=np.eye(3, dtype=np.float32),
+            world_origin=np.zeros(3, np.float32),
+        )
+
+    span = 3.0
+    for i in range(n_textures):
+        size = 4 * (i + 1)  # 4x4, 8x8, 12x12 ... distinct byte sizes
+        col0 = np.array([1.0, 0.2 * i, 0.1, 1.0], np.float32)
+        col1 = np.array([0.1, 1.0 - 0.2 * i, 0.9, 1.0], np.float32)
+        images.append(ImageData(uri=f"checker{i}", srgb=False,
+                                pixels=_checker(size, size, col0, col1)))
+        materials.append(MaterialData(
+            name=f"tex{i}", albedo=(1.0, 1.0, 1.0), opacity=1.0,
+            roughness=1.0, metallic=0.0, emissive=(0.0, 0.0, 0.0),
+            albedo_tex=i,
+        ))
+        cx = -span + 2 * span * i / max(n_textures - 1, 1)
+        prims.append(quad(-2.0, 0.9, cx, f"quad{i}", i))
+
+    materials.append(MaterialData(
+        name="glow", albedo=(0.0, 0.0, 0.0), opacity=1.0, roughness=1.0,
+        metallic=0.0, emissive=(1.0, 1.0, 1.0),
+    ))
+    prims.append(quad(-6.0, 20.0, 0.0, "backdrop", n_textures))
+
+    camera = CameraData(
+        yfov=1.2,
+        world_basis=np.eye(3, dtype=np.float32),
+        world_origin=np.array([0.0, 0.0, 3.0], np.float32),
+    )
+    scene = SceneData(
+        primitives=prims, materials=materials, images=images, camera=camera,
+        sun=None,
+        mesh_primitive_counts={p.mesh_name: 1 for p in prims},
+    )
+    return flatten(scene)
+
+
+def test_texture_bins_balanced():
+    assign = texture_bins([100, 1, 1, 50, 49, 1], tp=2)
+    totals = [0, 0]
+    for s, b in zip([100, 1, 1, 50, 49, 1], assign):
+        totals[b] += s
+    assert abs(totals[0] - totals[1]) <= 2
+    # Every texture lands in exactly one bin.
+    assert set(assign) <= {0, 1}
+
+
+def test_build_texture_shards_preserves_samples():
+    """Offsets rewritten into the stacked layout must resolve every sample
+    to the same texel values (static=None path: the global pack is just
+    reordered/padded)."""
+    fs, static = textured_scene()
+    fs2, static2 = build_texture_shards(fs, static, tp=2)
+    assert static2.tex_shard_len > 0
+    assert fs2.tex_texels.shape[0] == 2 * static2.tex_shard_len
+    uv = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (64, 2)), jnp.float32)
+    for t in range(int(np.asarray(fs.tex_offset).shape[0])):
+        tex = jnp.full((64,), t, jnp.int32)
+        a = textures.sample_texture(fs, tex, uv)
+        b = textures.sample_texture(fs2, tex, uv)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_planner_flips_shard_textures_when_texels_dominate():
+    # Tiny geometry + a texel pack far past the per-chip budget.
+    p = pmesh.plan(n_tris=1024, n_devices=8, n_texels=500_000_000)
+    assert p.scene_sharded and p.shard_textures
+    # Small pack stays replicated.
+    p = pmesh.plan(n_tris=1024, n_devices=8, n_texels=1000)
+    assert not p.shard_textures
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_sharded_textures_match_replicated(tp):
+    fs, static = textured_scene()
+    cfg = RenderConfig(width=16, height=16, samples=2, bounces=2,
+                       intersector="brute", environment_factor=(0.0, 0.0, 0.0))
+    plan_rep = pmesh.Plan(dp=8 // tp, tp=tp, scene_sharded=True,
+                          shard_textures=False)
+    plan_shd = pmesh.Plan(dp=8 // tp, tp=tp, scene_sharded=True,
+                          shard_textures=True)
+    mesh_dev = pmesh.make_mesh(plan_rep)
+    rep = dist.render_distributed(fs, static, cfg, plan=plan_rep,
+                                  mesh=mesh_dev)
+    shd = dist.render_distributed(fs, static, cfg, plan=plan_shd,
+                                  mesh=mesh_dev)
+    np.testing.assert_array_equal(rep.color, shd.color)
+
+    single = R.render(fs, static, cfg)
+    np.testing.assert_allclose(shd.color, single.color, rtol=1e-5, atol=1e-6)
+
+
+def test_ring_comm_with_sharded_textures_raises():
+    fs, static = textured_scene()
+    cfg = RenderConfig(width=16, height=16, samples=1, bounces=2,
+                       intersector="brute")
+    plan = pmesh.Plan(dp=4, tp=2, scene_sharded=True, shard_textures=True)
+    with pytest.raises(ValueError, match="ring"):
+        dist.render_distributed(fs, static, cfg, plan=plan,
+                                mesh=pmesh.make_mesh(plan), comm="ring")
+
+
+def test_jack_tp2_sharded_pack_bitmatch():
+    """The real textured scene: jack-of-blades under tp=2 with the texel
+    pack sharded matches the replicated-pack render bit-for-bit (VERDICT
+    round-2 'done' criterion)."""
+    fs, static = R.load_scene(JACK)
+    cfg = RenderConfig(width=48, height=36, samples=1, bounces=2,
+                       intersector="bvh")
+    plan_rep = pmesh.Plan(dp=4, tp=2, scene_sharded=True, shard_textures=False)
+    plan_shd = pmesh.Plan(dp=4, tp=2, scene_sharded=True, shard_textures=True)
+    mesh_dev = pmesh.make_mesh(plan_rep)
+    rep = dist.render_distributed(fs, static, cfg, plan=plan_rep, mesh=mesh_dev)
+    shd = dist.render_distributed(fs, static, cfg, plan=plan_shd, mesh=mesh_dev)
+    np.testing.assert_array_equal(rep.color, shd.color)
