@@ -91,6 +91,13 @@ def _config_from_args(args):
 
 
 def cmd_render(args) -> int:
+    if args.distributed:
+        # Must run before anything touches the XLA backend (scene load
+        # included): on pods this wires every host into one runtime.
+        from ptx.parallel import multihost
+
+        multihost.initialize()
+
     from ptx import render as R
     from ptx.io.png import write_png
 
@@ -129,9 +136,7 @@ def cmd_render(args) -> int:
 
             from ptx.parallel import dist as pdist
             from ptx.parallel import mesh as pmesh
-            from ptx.parallel import multihost
 
-            multihost.initialize()
             plan = pmesh.plan(
                 static.n_tris_padded,
                 n_texels=int(np.asarray(fs.tex_texels).shape[0]),

@@ -374,6 +374,8 @@ def render_distributed(
     ray_ways = plan.dp * (plan.tp if comm == "ring" else 1)
     k = resolve_samples_per_launch(cfg, ways=ray_ways)
     fn = make_distributed_sample_fn(static, cfg, mesh, plan, comm, k=k)
+    from ptx.parallel.multihost import replicator
+
     return progressive_render(
         fs, static, cfg,
         sample_fn=fn if k == 1 else None,
@@ -383,4 +385,5 @@ def render_distributed(
         checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every,
         metrics=metrics,
+        replicate=replicator(mesh),
     )

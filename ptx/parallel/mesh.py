@@ -160,8 +160,18 @@ def scene_shardings(mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False,
 
 def shard_scene(fs, mesh: Mesh, scene_sharded: bool, shard_bvh: bool = False,
                 shard_tex: bool = False):
-    """Place a FlatScene on the mesh according to the plan."""
+    """Place a FlatScene on the mesh according to the plan.
+
+    In multi-process (multi-host) runs every process holds the full
+    host-side scene (same file loaded everywhere) and materializes only the
+    shards its local devices own (``multihost.put_global``)."""
     specs = scene_shardings(mesh, scene_sharded, shard_bvh, shard_tex)
+    if jax.process_count() > 1:
+        from ptx.parallel.multihost import put_global
+
+        return jax.tree.map(
+            lambda x, s: put_global(x, NamedSharding(mesh, s)), fs, specs
+        )
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), fs, specs
     )

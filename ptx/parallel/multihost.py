@@ -64,6 +64,14 @@ def initialize(
             log.warning("multi-host init skipped: %s", e)
             return False
         raise
+    except ValueError as e:
+        if coordinator_address is None and "coordinator_address" in str(e):
+            # A pod-ish env var was present (some TPU plugins export
+            # TPU_WORKER_HOSTNAMES even single-host) but auto-detection
+            # found no coordinator: this is a single-process run.
+            log.warning("multi-host auto-detect found no coordinator: %s", e)
+            return False
+        raise
     log.info(
         "multi-host: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),
@@ -72,12 +80,32 @@ def initialize(
     return True
 
 
-def local_pixel_slice(n_pixels: int) -> slice:
-    """The contiguous pixel range this host materializes when building
-    host-local input shards for a dp-sharded render (addressed-data
-    placement for ``jax.make_array_from_process_local_data``)."""
+def replicator(mesh):
+    """Tree-map callable that reshards global arrays to fully-replicated
+    over ``mesh`` (an all-gather across hosts/chips) so every process can
+    ``np.asarray`` them — the hook ``ptx.render.progressive_render`` applies
+    before checkpoint writes and the final host fetch.  ``None`` in
+    single-process runs (everything is already addressable)."""
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    per = n_pixels // jax.process_count()
-    start = jax.process_index() * per
-    return slice(start, start + per)
+    if jax.process_count() == 1:
+        return None
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    return lambda tree: jax.tree.map(rep, tree)
+
+
+def put_global(x, sharding):
+    """Build a global :class:`jax.Array` for ``sharding`` from a host-local
+    full copy of ``x`` (every process holds the whole array — the scene is
+    loaded from the same file on each host, the multi-controller analog of
+    every Lambda worker downloading its shard from S3,
+    ``load_gltf.cpp:180-185``).  Each process materializes only the shards
+    its local devices own."""
+    import jax
+    import numpy as np
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )

@@ -369,16 +369,18 @@ def progressive_render(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 5,
     metrics=None,
-    gather_result=None,
+    replicate=None,
 ) -> RenderResult:
     """The progressive sample loop shared by single-chip :func:`render` and
     :func:`ptx.parallel.dist.render_distributed`: running-mean / claim-blend
     accumulation, checkpoint/resume, optional per-phase metrics.
 
     Exactly one of ``sample_fn`` (k == 1) / ``batch_fn`` (k > 1 samples fused
-    per launch) drives the trace.  ``gather_result`` post-processes the final
-    ``(color, alpha)`` device arrays before host transfer (the multi-host
-    full-image allgather hook).
+    per launch) drives the trace.  ``replicate`` (multi-host runs only —
+    ``ptx.parallel.multihost.replicator``) maps accumulator arrays to a
+    fully-replicated sharding (an all-gather over the mesh) so every host
+    can transfer them; applied before checkpoint writes and the final
+    host fetch.
     """
     from ptx.io import checkpoint as ckpt_mod
 
@@ -409,13 +411,14 @@ def progressive_render(
                 carry = (jnp.asarray(loaded.color), jnp.asarray(loaded.alpha))
 
     def write_checkpoint(done):
+        c = replicate(carry) if replicate is not None else carry
         ckpt_mod.save(
             checkpoint_path,
             ckpt_mod.Checkpoint(
-                color=np.asarray(carry[0]),
-                alpha=np.asarray(carry[1]),
+                color=np.asarray(c[0]),
+                alpha=np.asarray(c[1]),
                 claimed=(
-                    np.asarray(carry[2]) if cfg.transparent_background else None
+                    np.asarray(c[2]) if cfg.transparent_background else None
                 ),
                 samples_done=done,
                 fingerprint=fingerprint,
@@ -477,8 +480,8 @@ def progressive_render(
         write_checkpoint(cfg.samples)
 
     color, alpha = carry[0], carry[1]
-    if gather_result is not None:
-        color, alpha = gather_result(color, alpha)
+    if replicate is not None:
+        color, alpha = replicate((color, alpha))
     with phase("finalize"):
         image = accumulate.finalize(color, alpha)
         h, w = cfg.height, cfg.width
