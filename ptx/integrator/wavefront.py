@@ -223,13 +223,19 @@ def make_integrator(
     max_iters = cfg.bounces + extra
     do_compact = sorting.resolve_compact(static, cfg)
 
-    def step(fs: FlatScene, it, state: RayState) -> RayState:
+    def trace(fs: FlatScene, it, state: RayState):
+        """The two intersection sweeps of one bounce: closest hit + NEE
+        shadow query (the reference's INTERSECT and DIRECT_LIGHTING stages).
+        Split from :func:`shade` so the differentiable scan can save these
+        results as residuals — ``jax.checkpoint`` around the shading then
+        remats only cheap VPU algebra, never the traversal sweeps (which
+        material/light gradients do not depend on)."""
         R = state.orig.shape[0]
         pix, smp = state.pixel_ids, state.sample_ids
         u = lambda purpose: sampling.uniform(pix, smp, it, purpose, cfg.seed)
 
         # Park dead lanes outside the scene so they sort into all-dead blocks
-        # and fail every tile gate (their results are alive-masked below).
+        # and fail every tile gate (their results are alive-masked in shade).
         if do_compact:
             q_orig, q_dirn = sorting.park(
                 state.orig, state.dirn, state.alive, static
@@ -237,6 +243,44 @@ def make_integrator(
         else:
             q_orig, q_dirn = state.orig, state.dirn
         h = closest(fs, q_orig, q_dirn)
+
+        # --- NEE shadow ray (intersection_worker.cpp:22-40) ----------------
+        # Cone-sampled sun direction; "exists" uses the *interpolated* normal
+        # (pre normal-map), as the intersect stage does.
+        if static.has_sun:
+            cos_theta = jnp.cos(
+                u(sampling.P_SUN_THETA) * fs.sun_angular_radius
+            )
+            d_sun = sampling.cone_vec(
+                u(sampling.P_SUN_PHI),
+                cos_theta,
+                jnp.broadcast_to(fs.sun_dir, state.dirn.shape),
+            )
+            d_sun = jax.lax.stop_gradient(d_sun)
+            sun_exists = pmath.dot(h.normal, d_sun) > 0.0
+            shadow_org = h.position + d_sun * pmath.EPS
+            # Only lanes that are alive with an up-facing sun consume the
+            # occlusion result — park the rest (see the closest-hit park).
+            alive_hit = state.alive & h.hit
+            if do_compact:
+                s_org, s_dir = sorting.park(
+                    shadow_org, d_sun, alive_hit & sun_exists, static
+                )
+            else:
+                s_org, s_dir = shadow_org, d_sun
+            shadow_hit = any_hit(fs, s_org, s_dir)
+        else:
+            d_sun = jnp.zeros_like(state.dirn)
+            sun_exists = jnp.zeros((R,), bool)
+            shadow_hit = jnp.zeros((R,), bool)
+        return h, d_sun, sun_exists, shadow_hit
+
+    def shade(fs: FlatScene, it, state: RayState, h, d_sun, sun_exists,
+              shadow_hit) -> RayState:
+        R = state.orig.shape[0]
+        pix, smp = state.pixel_ids, state.sample_ids
+        u = lambda purpose: sampling.uniform(pix, smp, it, purpose, cfg.seed)
+
         hit = h.hit & state.alive
         position, n_interp, tangent, uv, mat_id = (
             h.position, h.normal, h.tangent, h.uv, h.mat_id
@@ -276,35 +320,6 @@ def make_integrator(
 
         # --- backface cull (shading_worker.cpp:68-72) ----------------------
         backface = alive & ~passthrough & (pmath.dot(n_shade, outcoming) <= 0.0)
-
-        # --- NEE shadow ray (intersection_worker.cpp:22-40) ----------------
-        # Cone-sampled sun direction; "exists" uses the *interpolated* normal
-        # (pre normal-map), as the intersect stage does.
-        if static.has_sun:
-            cos_theta = jnp.cos(
-                u(sampling.P_SUN_THETA) * fs.sun_angular_radius
-            )
-            d_sun = sampling.cone_vec(
-                u(sampling.P_SUN_PHI),
-                cos_theta,
-                jnp.broadcast_to(fs.sun_dir, state.dirn.shape),
-            )
-            d_sun = jax.lax.stop_gradient(d_sun)
-            sun_exists = pmath.dot(n_interp, d_sun) > 0.0
-            shadow_org = position + d_sun * pmath.EPS
-            # Only lanes that are alive with an up-facing sun consume the
-            # occlusion result — park the rest (see the closest-hit park).
-            if do_compact:
-                s_org, s_dir = sorting.park(
-                    shadow_org, d_sun, alive & sun_exists, static
-                )
-            else:
-                s_org, s_dir = shadow_org, d_sun
-            shadow_hit = any_hit(fs, s_org, s_dir)
-        else:
-            d_sun = jnp.zeros_like(state.dirn)
-            sun_exists = jnp.zeros((R,), bool)
-            shadow_hit = jnp.zeros((R,), bool)
 
         # --- shadow catcher, first bounce (shading_worker.cpp:74-105) ------
         is_catcher = mat["shadow_catcher"] > 0.5
@@ -417,6 +432,9 @@ def make_integrator(
             sample_ids=smp,
         )
 
+    def step(fs: FlatScene, it, state: RayState) -> RayState:
+        return shade(fs, it, state, *trace(fs, it, state))
+
     def integrate(fs: FlatScene, pixel_ids, sample_ids):
         orig, dirn = pcamera.generate_rays(
             fs,
@@ -443,21 +461,27 @@ def make_integrator(
 
         if differentiable:
             # Reverse-mode AD needs a static trip count: a scan over
-            # max_iters with per-step rematerialization (jax.checkpoint), so
-            # backward memory stays O(state) instead of O(state * iters).
+            # max_iters.  The bounce is split at the trace/shade seam: the
+            # two traversal sweeps (closest hit + shadow query — the
+            # expensive part, and one material/light gradients never flow
+            # *into*) run outside jax.checkpoint so their results are saved
+            # as per-step residuals (~19 f32/ray/step), while the shading
+            # algebra inside the checkpoint remats during backward — cheap
+            # VPU work.  Before the split, remat re-ran both sweeps per
+            # step, doubling the dominant cost of the backward pass.
             def body(s, it):
                 # Scalar-predicate cond: XLA skips the whole step once every
                 # lane is dead (e.g. opacity-headroom iterations on scenes
                 # where nothing passes through) — lax.cond is reverse-mode
                 # differentiable, so the scan stays AD-safe.
-                return jax.lax.cond(
-                    jnp.any(s.alive),
-                    jax.checkpoint(
-                        lambda ss: step(fs, it, ss), prevent_cse=False
-                    ),
-                    lambda ss: ss,
-                    s,
-                ), None
+                def live(ss):
+                    tr = trace(fs, it, ss)
+                    return jax.checkpoint(
+                        lambda ss2, tr2: shade(fs, it, ss2, *tr2),
+                        prevent_cse=False,
+                    )(ss, tr)
+
+                return jax.lax.cond(jnp.any(s.alive), live, lambda ss: ss, s), None
 
             state, _ = jax.lax.scan(
                 body, state, jnp.arange(max_iters, dtype=jnp.int32)

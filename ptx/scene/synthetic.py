@@ -96,3 +96,72 @@ def load_synthetic(spec: str):
     seed = int(parts[2]) if len(parts) > 2 else 0
     scene = make_tri_soup(n_tris, seed=seed)
     return flatten(scene)
+
+
+def _checker(h: int, w: int, c0, c1) -> np.ndarray:
+    img = np.empty((h, w, 4), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((yy // 2 + xx // 2) % 2).astype(bool)
+    img[mask] = c1
+    img[~mask] = c0
+    return img
+
+
+def make_textured_quads(n_textures: int = 3) -> SceneData:
+    """A fan of textured quads facing the camera, each with its own
+    checkerboard albedo (distinct sizes so texture binning is non-trivial),
+    lit by an emissive backdrop — the deterministic textured-scene fixture
+    for the texture-sharding paths (``ptx.parallel.shard_scene``)."""
+    from ptx.scene.gltf import ImageData
+
+    prims, materials, images = [], [], []
+
+    def quad(z, half, cx, mesh, mat):
+        positions = np.array(
+            [[cx - half, -half, z], [cx + half, -half, z],
+             [cx + half, half, z], [cx - half, half, z]], np.float32
+        )
+        normals = np.tile(np.array([0, 0, 1], np.float32), (4, 1))
+        uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        tangents = np.zeros((4, 4), np.float32)
+        tangents[:, 0] = 1.0
+        tangents[:, 3] = 1.0
+        indices = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        return PrimitiveData(
+            mesh_name=mesh, prim_index=0, positions=positions,
+            normals=normals, uvs=uvs, tangents=tangents, indices=indices,
+            material=mat, world_basis=np.eye(3, dtype=np.float32),
+            world_origin=np.zeros(3, np.float32),
+        )
+
+    span = 3.0
+    for i in range(n_textures):
+        size = 4 * (i + 1)  # 4x4, 8x8, 12x12 ... distinct byte sizes
+        col0 = np.array([1.0, 0.2 * i, 0.1, 1.0], np.float32)
+        col1 = np.array([0.1, 1.0 - 0.2 * i, 0.9, 1.0], np.float32)
+        images.append(ImageData(uri=f"checker{i}", srgb=False,
+                                pixels=_checker(size, size, col0, col1)))
+        materials.append(MaterialData(
+            name=f"tex{i}", albedo=(1.0, 1.0, 1.0), opacity=1.0,
+            roughness=1.0, metallic=0.0, emissive=(0.0, 0.0, 0.0),
+            albedo_tex=i,
+        ))
+        cx = -span + 2 * span * i / max(n_textures - 1, 1)
+        prims.append(quad(-2.0, 0.9, cx, f"quad{i}", i))
+
+    materials.append(MaterialData(
+        name="glow", albedo=(0.0, 0.0, 0.0), opacity=1.0, roughness=1.0,
+        metallic=0.0, emissive=(1.0, 1.0, 1.0),
+    ))
+    prims.append(quad(-6.0, 20.0, 0.0, "backdrop", n_textures))
+
+    camera = CameraData(
+        yfov=1.2,
+        world_basis=np.eye(3, dtype=np.float32),
+        world_origin=np.array([0.0, 0.0, 3.0], np.float32),
+    )
+    return SceneData(
+        primitives=prims, materials=materials, images=images, camera=camera,
+        sun=None,
+        mesh_primitive_counts={p.mesh_name: 1 for p in prims},
+    )
