@@ -49,6 +49,18 @@ def extract_params(fs: FlatScene, fields: Sequence[str]) -> Dict[str, jnp.ndarra
     return {f: getattr(fs, f) for f in fields}
 
 
+def _resolve_diff_integrator(static, cfg, closest, any_hit, param_fields):
+    """Material/light/texture parameter sets take the fast custom_vjp path
+    (fused-Pallas forward, shading-only backward — ``ptx.diff.fast``);
+    anything touching geometry/camera keeps the general differentiable scan
+    whose backward flows through the Möller-Trumbore vjp."""
+    from ptx.diff.fast import FAST_SAFE_FIELDS, make_fast_diff_integrator
+
+    if set(param_fields) <= FAST_SAFE_FIELDS:
+        return make_fast_diff_integrator(static, cfg, closest, any_hit)
+    return make_integrator(static, cfg, closest, any_hit, differentiable=True)
+
+
 def make_loss_fn(
     static: SceneStatic,
     cfg: RenderConfig,
@@ -63,7 +75,9 @@ def make_loss_fn(
 
     if closest is None or any_hit is None:
         closest, any_hit = get_backend(static, cfg)
-    integrator = make_integrator(static, cfg, closest, any_hit, differentiable=True)
+    integrator = _resolve_diff_integrator(
+        static, cfg, closest, any_hit, param_fields
+    )
     n_pixels = cfg.width * cfg.height
 
     def loss(params, fs: FlatScene, sample_id):
@@ -90,6 +104,7 @@ def make_batch_loss_fn(
     n_samples: int,
     closest=None,
     any_hit=None,
+    param_fields: Sequence[str] = ("mat_albedo", "mat_emissive"),
 ):
     """``loss(params, fs) -> scalar`` comparing the *mean over n_samples
     passes* against the target.  When the target was produced by the same
@@ -107,7 +122,9 @@ def make_batch_loss_fn(
 
     if closest is None or any_hit is None:
         closest, any_hit = get_backend(static, cfg)
-    integrator = make_integrator(static, cfg, closest, any_hit, differentiable=True)
+    integrator = _resolve_diff_integrator(
+        static, cfg, closest, any_hit, param_fields
+    )
     n_pixels = cfg.width * cfg.height
 
     # Largest divisor of n_samples whose launch stays under the ray cap.

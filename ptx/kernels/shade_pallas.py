@@ -508,36 +508,25 @@ def _call_sun(static, cfg, it, pix, smp, alive, n_interp, position, fs, n_rows,
     )
 
 
-def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
-                           closest, any_hit, interpret=None,
-                           live_sync=None):
-    """Integrator with the fused Pallas shading path.
+def make_pallas_step(static: SceneStatic, cfg: RenderConfig,
+                     closest, any_hit, interpret=None, record=False):
+    """One bounce of the fused-Pallas schedule: XLA closest-hit + material
+    fetch, then the sun-NEE and shading Pallas kernels.
 
-    Produces identical images to ``ptx.integrator.wavefront.make_integrator``
-    (same RNG streams, same merge order); only the execution schedule differs.
-    Forward-only (the differentiable path stays on the XLA integrator).
-
-    ``live_sync`` (SPMD use): when ``closest``/``any_hit`` contain
-    collectives (the scene-sharded reduces), pass an axis-wide pmax so every
-    chip agrees on loop trip counts — same contract as
-    ``wavefront._chunked_forward``.
-    """
+    ``record=True`` makes the step additionally return the bounce's trace
+    results ``(h, d_sun, sun_exists, shadow_hit)`` — the residuals the fast
+    differentiable path (``ptx.diff.fast``) saves so its backward can
+    linearize only the XLA shading algebra at the recorded hits."""
     from ptx.integrator.wavefront import RayState, _env_radiance
-    from ptx.scene import camera as pcamera
+    from ptx.kernels import sorting
     from ptx.scene import textures
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    q = cfg.quirks
-    extra = cfg.opacity_extra_iters if static.has_translucent else 0
-    max_iters = cfg.bounces + extra
     shade_kernel = _make_shade_kernel(static, cfg)
-
-    from ptx.kernels import sorting
-
     do_compact = sorting.resolve_compact(static, cfg)
 
-    def step(fs, it, state: RayState) -> RayState:
+    def step(fs, it, state: RayState):
         r = state.orig.shape[0]
         n_rows = r // LANES
         # Park dead lanes (sort into all-dead blocks, fail every tile gate);
@@ -635,7 +624,7 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
                 [x.reshape(r), y.reshape(r), z.reshape(r)], axis=-1
             )
 
-        return RayState(
+        new_state = RayState(
             orig=vec3(o["ox"], o["oy"], o["oz"]),
             dirn=vec3(o["dx"], o["dy"], o["dz"]),
             radiance=vec3(o["rad_r"], o["rad_g"], o["rad_b"]),
@@ -646,6 +635,47 @@ def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
             pixel_ids=state.pixel_ids,
             sample_ids=state.sample_ids,
         )
+        if record:
+            d_sun = (
+                vec3(sdx, sdy, sdz) if static.has_sun
+                else jnp.zeros((r, 3), jnp.float32)
+            )
+            rec = (
+                h,
+                d_sun,
+                exists_p.reshape(r) > 0,
+                shadow_hit_p.reshape(r) > 0,
+            )
+            return new_state, rec
+        return new_state
+
+    return step
+
+
+def make_pallas_integrator(static: SceneStatic, cfg: RenderConfig,
+                           closest, any_hit, interpret=None,
+                           live_sync=None):
+    """Integrator with the fused Pallas shading path.
+
+    Produces identical images to ``ptx.integrator.wavefront.make_integrator``
+    (same RNG streams, same merge order); only the execution schedule differs.
+    Forward-only (the differentiable path builds on :func:`make_pallas_step`
+    with ``record=True`` — ``ptx.diff.fast``).
+
+    ``live_sync`` (SPMD use): when ``closest``/``any_hit`` contain
+    collectives (the scene-sharded reduces), pass an axis-wide pmax so every
+    chip agrees on loop trip counts — same contract as
+    ``wavefront._chunked_forward``.
+    """
+    from ptx.integrator.wavefront import RayState
+    from ptx.kernels import sorting
+    from ptx.scene import camera as pcamera
+
+    q = cfg.quirks
+    extra = cfg.opacity_extra_iters if static.has_translucent else 0
+    max_iters = cfg.bounces + extra
+    do_compact = sorting.resolve_compact(static, cfg)
+    step = make_pallas_step(static, cfg, closest, any_hit, interpret)
 
     def integrate(fs, pixel_ids, sample_ids):
         from ptx.integrator.wavefront import _chunked_forward
