@@ -197,31 +197,20 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
     return radiance, alpha
 
 
-def make_integrator(
+def make_trace_fn(
     static: SceneStatic,
     cfg: RenderConfig,
     closest: Callable,
     any_hit: Callable,
-    differentiable: bool = False,
-    chunked: bool = True,
-    live_sync: Callable = None,
+    do_compact: bool = None,
 ):
-    """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
-    (radiance [R,3], alpha [R])``.
-
-    ``closest(fs, orig, dirn) -> (hit, position, n_interp, tangent, uv,
-    mat_id)`` returns *hit attributes* (not triangle indices) so backends are
-    free to resolve the winning hit however they like — a local tile/BVH/
-    Pallas sweep, or the scene-sharded psum-min payload reduce over ICI (the
-    reference's cross-worker min-distance exchange, W5).  ``any_hit`` returns
-    the occlusion boolean.  Swap backends without touching the shading math.
-    """
-    q = cfg.quirks
-    # Opacity passthrough does not consume a bounce; extra loop headroom is
-    # only needed when some material can actually pass rays through.
-    extra = cfg.opacity_extra_iters if static.has_translucent else 0
-    max_iters = cfg.bounces + extra
-    do_compact = sorting.resolve_compact(static, cfg)
+    """Build the per-bounce *trace* stage ``(fs, it, state) -> (hit, d_sun,
+    sun_exists, shadow_hit)`` — the two intersection sweeps of one bounce
+    (the reference's INTERSECT and DIRECT_LIGHTING stages).  Factored out of
+    :func:`make_integrator` so the fast differentiable path
+    (``ptx.diff.fast``) can run it forward-only and record its results."""
+    if do_compact is None:
+        do_compact = sorting.resolve_compact(static, cfg)
 
     def trace(fs: FlatScene, it, state: RayState):
         """The two intersection sweeps of one bounce: closest hit + NEE
@@ -274,6 +263,19 @@ def make_integrator(
             sun_exists = jnp.zeros((R,), bool)
             shadow_hit = jnp.zeros((R,), bool)
         return h, d_sun, sun_exists, shadow_hit
+
+    return trace
+
+
+def make_shade_fn(static: SceneStatic, cfg: RenderConfig):
+    """Build the per-bounce *shading* stage ``(fs, it, state, hit, d_sun,
+    sun_exists, shadow_hit) -> RayState`` — pure VPU algebra, every
+    ``shading_worker.cpp`` quirk, no traversal.  The seam between this and
+    :func:`make_trace_fn` is where the differentiable paths cut: material/
+    light/texture gradients flow through shading only, so the trace results
+    can be saved (general path: checkpoint residuals; fast path: recorded
+    buffers) and the backward graph never re-runs a sweep."""
+    q = cfg.quirks
 
     def shade(fs: FlatScene, it, state: RayState, h, d_sun, sun_exists,
               shadow_hit) -> RayState:
@@ -431,6 +433,37 @@ def make_integrator(
             pixel_ids=pix,
             sample_ids=smp,
         )
+
+    return shade
+
+
+def make_integrator(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    closest: Callable,
+    any_hit: Callable,
+    differentiable: bool = False,
+    chunked: bool = True,
+    live_sync: Callable = None,
+):
+    """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
+    (radiance [R,3], alpha [R])``.
+
+    ``closest(fs, orig, dirn) -> (hit, position, n_interp, tangent, uv,
+    mat_id)`` returns *hit attributes* (not triangle indices) so backends are
+    free to resolve the winning hit however they like — a local tile/BVH/
+    Pallas sweep, or the scene-sharded psum-min payload reduce over ICI (the
+    reference's cross-worker min-distance exchange, W5).  ``any_hit`` returns
+    the occlusion boolean.  Swap backends without touching the shading math.
+    """
+    q = cfg.quirks
+    # Opacity passthrough does not consume a bounce; extra loop headroom is
+    # only needed when some material can actually pass rays through.
+    extra = cfg.opacity_extra_iters if static.has_translucent else 0
+    max_iters = cfg.bounces + extra
+    do_compact = sorting.resolve_compact(static, cfg)
+    trace = make_trace_fn(static, cfg, closest, any_hit, do_compact)
+    shade = make_shade_fn(static, cfg)
 
     def step(fs: FlatScene, it, state: RayState) -> RayState:
         return shade(fs, it, state, *trace(fs, it, state))
