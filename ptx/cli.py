@@ -221,6 +221,11 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    # Persistent compile cache: repeat invocations skip the (tunneled-TPU)
+    # XLA compile, which otherwise dominates CLI cold start.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
     return args.fn(args)
 
 

@@ -131,6 +131,52 @@ def pack_tris(fs: FlatScene):
     return tiles, boxes
 
 
+def attach_tiles(fs: FlatScene) -> FlatScene:
+    """Attach pre-packed traversal tiles to the scene (``fs.ptiles`` /
+    ``fs.pboxes``) so per-call sweeps skip the 16-row repack — called once
+    from ``ptx.render.ensure_accel`` after the BVH ordering is final.
+
+    Pure numpy: the pack is transposes + min/max, and doing it eagerly with
+    jnp would dispatch ~20 individually-compiled ops through the device
+    (minutes of one-time compile on a tunneled TPU vs milliseconds here)."""
+    import numpy as np
+
+    tri_a = np.asarray(fs.tri_a, np.float32)
+    tri_e1 = np.asarray(fs.tri_e1, np.float32)
+    tri_e2 = np.asarray(fs.tri_e2, np.float32)
+    tri_valid = np.asarray(fs.tri_valid, bool)
+    n = tri_a.shape[0]
+    n_pad = -(-n // TT) * TT
+    n_tiles = n_pad // TT
+    tris = np.zeros((16, n_pad), np.float32)
+    tris[0:3, :n] = tri_a.T
+    tris[3:6, :n] = tri_e1.T
+    tris[6:9, :n] = tri_e2.T
+
+    a = tris[0:3].T.reshape(n_tiles, TT, 3)
+    b = a + tris[3:6].T.reshape(n_tiles, TT, 3)
+    c = a + tris[6:9].T.reshape(n_tiles, TT, 3)
+    valid = np.zeros((n_pad,), bool)
+    valid[: tri_valid.shape[0]] = tri_valid
+    valid = valid.reshape(n_tiles, TT, 1)
+    big = np.float32(INF)
+    lo = np.min(np.where(valid, np.minimum(np.minimum(a, b), c), big), axis=1)
+    hi = np.max(np.where(valid, np.maximum(np.maximum(a, b), c), -big), axis=1)
+    boxes = np.zeros((n_tiles, 8), np.float32)
+    boxes[:, 0:3] = lo
+    boxes[:, 3:6] = hi
+    tiles = np.ascontiguousarray(tris.reshape(16, n_tiles, TT).transpose(1, 0, 2))
+    return fs._replace(ptiles=tiles, pboxes=boxes)
+
+
+def _scene_tiles(fs: FlatScene):
+    """The scene's traversal tiles: pre-packed when attached (and packed at
+    the current TT), else packed in-call (scene-sharded scenes, tests)."""
+    if fs.ptiles.shape[0] > 0 and fs.ptiles.shape[2] == TT:
+        return fs.ptiles, fs.pboxes
+    return pack_tris(fs)
+
+
 # Above this tile count the exact per-ray plan (O(rays x tiles)) switches to
 # the conservative per-block frustum plan (O(blocks x tiles)).  The exact
 # gate is tighter (fewer tiles swept), so it wins while affordable — the
@@ -256,8 +302,30 @@ def _tile_dma(tris_ref, order_ref, buf, sem, k, slot):
     )
 
 
+# Packed-min trick: positive f32 values order like their int32 bit patterns,
+# so (bits(t) & ~LANE_BITS) | lane is a single sortable key carrying both the
+# distance and the winning lane — one i32 min reduction per tile instead of
+# min + argmin (measured 1.43x on the 262k-tri sweep, tools/kernel_opt.py).
+# The low log2(TT) mantissa bits are sacrificed: comparisons see t truncated
+# toward zero (relative error <= 2^-14 at TT=512), which can flip near-tie
+# winners only; the caller recomputes exact t/barycentrics for the winner.
+LANE_BITS = TT - 1  # requires power-of-two TT
+# Kernel-side t values below this are hits; truncated-INF stays above it.
+HIT_T = 1.0e38
+
+
+def _init_key():
+    import numpy as np
+
+    return (int(np.float32(INF).view(np.int32)) & ~LANE_BITS) | LANE_BITS
+
+
+INIT_KEY = _init_key()
+
+
 def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
                     t_ref, idx_ref, buf, sem, visited_ref=None):
+    bc = jax.lax.bitcast_convert_type
     t_ref[:] = jnp.full_like(t_ref, INF)
     idx_ref[:] = jnp.zeros_like(idx_ref)
     if visited_ref is not None:
@@ -269,7 +337,7 @@ def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
         _tile_dma(tris_ref, order_ref, buf, sem, 0, 0).start()
 
         def body(carry):
-            k, _ = carry
+            k, _, best_key, best_tile = carry
             slot = jax.lax.rem(k, 2)
             nk = k + 1
             more = nk < cnt
@@ -282,20 +350,28 @@ def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
 
             _tile_dma(tris_ref, order_ref, buf, sem, k, slot).wait()
             t = _mt_matrix(rays_ref[:], buf[slot])  # [RB, TT]
-            tmin = jnp.min(t, axis=1, keepdims=True)  # [RB, 1]
-            arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-            closer = tmin < t_ref[:]
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            key = (bc(t, jnp.int32) & ~LANE_BITS) | lane
+            kmin = jnp.min(key, axis=1, keepdims=True)  # [RB, 1]
+            closer = kmin < best_key
+            best_key = jnp.where(closer, kmin, best_key)
             tile = order_ref[0, 0, k]
-            t_ref[:] = jnp.where(closer, tmin, t_ref[:])
-            idx_ref[:] = jnp.where(closer, tile * TT + arg, idx_ref[:])
+            best_tile = jnp.where(closer, tile, best_tile)
             # Front-to-back early exit: no later tile can beat any lane's
-            # best once its min entry >= the block-max best.
-            cont = more & (near_ref[0, 0, nk] < jnp.max(t_ref[:]))
-            return nk, cont
+            # best once its min entry >= the block-max best (trunc(t) <= t,
+            # so the truncated best is a safe bound).
+            tmax = jnp.max(bc(best_key & ~LANE_BITS, jnp.float32))
+            cont = more & (near_ref[0, 0, nk] < tmax)
+            return nk, cont, best_key, best_tile
 
-        k_fin, _ = jax.lax.while_loop(
-            lambda c: c[1], body, (jnp.int32(0), jnp.bool_(True))
+        init = (jnp.int32(0), jnp.bool_(True),
+                jnp.full((RB, 1), INIT_KEY, jnp.int32),
+                jnp.zeros((RB, 1), jnp.int32))
+        k_fin, _, best_key, best_tile = jax.lax.while_loop(
+            lambda c: c[1], body, init
         )
+        t_ref[:] = bc(best_key & ~LANE_BITS, jnp.float32)
+        idx_ref[:] = best_tile * TT + (best_key & LANE_BITS)
         if visited_ref is not None:
             # Exact executed-work account for the roofline bench: tiles
             # actually ground by this block (early exit makes the planned
@@ -360,15 +436,19 @@ SMALL_TILES = 4
 
 
 def _closest_small_kernel(rays_ref, tris_ref, t_ref, idx_ref):
-    t_ref[:] = jnp.full_like(t_ref, INF)
-    idx_ref[:] = jnp.zeros_like(idx_ref)
+    bc = jax.lax.bitcast_convert_type
+    best_key = jnp.full((RB, 1), INIT_KEY, jnp.int32)
+    best_tile = jnp.zeros((RB, 1), jnp.int32)
     for tile in range(tris_ref.shape[0]):  # static unroll
         t = _mt_matrix(rays_ref[:], tris_ref[tile])
-        tmin = jnp.min(t, axis=1, keepdims=True)
-        arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-        closer = tmin < t_ref[:]
-        t_ref[:] = jnp.where(closer, tmin, t_ref[:])
-        idx_ref[:] = jnp.where(closer, tile * TT + arg, idx_ref[:])
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        key = (bc(t, jnp.int32) & ~LANE_BITS) | lane
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        closer = kmin < best_key
+        best_key = jnp.where(closer, kmin, best_key)
+        best_tile = jnp.where(closer, jnp.int32(tile), best_tile)
+    t_ref[:] = bc(best_key & ~LANE_BITS, jnp.float32)
+    idx_ref[:] = best_tile * TT + (best_key & LANE_BITS)
 
 
 def _any_small_kernel(rays_ref, tris_ref, hit_ref):
@@ -456,7 +536,7 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
 
     r = orig.shape[0]
     rays, r_pad = _pack_rays(orig, dirn)
-    tris, boxes = pack_tris(fs)
+    tris, boxes = _scene_tiles(fs)
     t, idx = _grid_call(
         _closest_kernel,
         rays,
@@ -468,20 +548,22 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
         ],
         interpret,
     )
-    t = t[:r, 0]
+    t_trunc = t[:r, 0]
     tri = idx[:r, 0]
-    # Recompute barycentrics for the single winning triangle per ray.
-    _, beta, gamma, _ = geometry.moller_trumbore(
+    # Recompute t + barycentrics for the single winning triangle per ray —
+    # this also restores the mantissa bits the packed-min key truncated.
+    t_exact, beta, gamma, _ = geometry.moller_trumbore(
         orig, dirn, fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
     )
-    hit = t < INF
+    hit = t_trunc < HIT_T
+    t = jnp.where(hit, t_exact, INF)
     return attrs_from_indices(fs, t, tri, beta, gamma, hit)
 
 
 def any_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
     r = orig.shape[0]
     rays, r_pad = _pack_rays(orig, dirn)
-    tris, boxes = pack_tris(fs)
+    tris, boxes = _scene_tiles(fs)
     hit = _grid_call(
         _any_kernel,
         rays,
@@ -498,7 +580,7 @@ def closest_pallas_stats(fs: FlatScene, orig, dirn, interpret: bool = False):
     the bench's exact executed-work account (``ptx.bench.run_pallas_roofline``).
     Requires a scene above the SMALL_TILES fast path."""
     rays, r_pad = _pack_rays(orig, dirn)
-    tris, boxes = pack_tris(fs)
+    tris, boxes = _scene_tiles(fs)
     n_tiles = tris.shape[0]
     if n_tiles <= SMALL_TILES:
         raise ValueError("stats sweep needs > SMALL_TILES tiles")

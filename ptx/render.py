@@ -129,6 +129,12 @@ def ensure_accel(fs: FlatScene, static: SceneStatic, cfg: RenderConfig,
         from ptx.accel.bvh import build_bvh
 
         fs, static = build_bvh(fs, static)
+    if name == "pallas":
+        # Pre-pack the block-traversal tiles once (BVH ordering is final
+        # here) so the per-bounce sweeps skip the 16-row repack.
+        from ptx.kernels.intersect_pallas import attach_tiles
+
+        fs = attach_tiles(fs)
     return (to_device(fs) if device else fs), static
 
 

@@ -98,6 +98,13 @@ class FlatScene(NamedTuple):
     bvh_first: np.ndarray = np.zeros(1, np.int32)  # [Nn] leaf first tri
     bvh_count: np.ndarray = np.zeros(1, np.int32)  # [Nn] leaf size (0=interior)
     bvh_miss: np.ndarray = np.full(1, -1, np.int32)  # [Nn] escape link
+    # Pre-packed Pallas traversal tiles (ptx.kernels.intersect_pallas
+    # .pack_tris, attached by ptx.render.ensure_accel) so the 16-row
+    # component repack runs once per scene, not twice per bounce inside the
+    # jitted loop.  Empty (0-tile) until attached; the kernels fall back to
+    # packing in-call (the scene-sharded path still does).
+    ptiles: np.ndarray = np.zeros((0, 16, 1), np.float32)  # [n_tiles, 16, TT]
+    pboxes: np.ndarray = np.zeros((0, 8), np.float32)  # [n_tiles, 8]
 
 
 @dataclasses.dataclass(frozen=True)
