@@ -89,17 +89,45 @@ def _sync(out):
     return out
 
 
+_FENCE_RTT = None
+
+
+def _fence_rtt() -> float:
+    """One-time measurement of the host<->device fence round trip (the cost
+    :func:`_sync` pays on an already-finished computation).  Subtracted from
+    fenced timings so kernels faster than the tunnel RTT aren't overstated
+    (ADVICE r3: a genuine sub-RTT blocked minimum used to trigger the
+    fake-async fallback and absorb the device_get latency)."""
+    global _FENCE_RTT
+    if _FENCE_RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8,), jnp.float32) + 1.0
+        jax.block_until_ready(x)
+        _sync(x)  # warm the fence path itself
+        rtt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(x)
+            rtt = min(rtt, time.perf_counter() - t0)
+        _FENCE_RTT = rtt
+    return _FENCE_RTT
+
+
 def _timed_passes(run_pass, reps: int):
     """min-of-reps timing with a fake-async guard.
 
     ``run_pass()`` dispatches one full pass and returns its outputs.  Passes
     are timed with ``block_until_ready`` (no per-pass round trip); a final
-    pass is timed behind a :func:`_sync` fence, and if the blocked minimum
-    is less than half the fenced time the blocked numbers were fake (see
-    ``_sync``) and the fenced time is reported instead.
+    pass is timed behind a :func:`_sync` fence with the measured fence RTT
+    subtracted.  If the blocked minimum is less than half the RTT-corrected
+    fenced time the blocked numbers were fake (see ``_sync``) and the
+    corrected fenced time is reported instead.
     """
     import jax
 
+    rtt = _fence_rtt()
     dt = float("inf")
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
@@ -108,13 +136,23 @@ def _timed_passes(run_pass, reps: int):
         dt = min(dt, time.perf_counter() - t0)
     t0 = time.perf_counter()
     _sync(run_pass())
-    dt_fenced = time.perf_counter() - t0
+    dt_fenced = max(time.perf_counter() - t0 - rtt, 1e-9)
     return dt_fenced if dt < 0.5 * dt_fenced else dt
 
 
-def run_backward_bench(scene: Optional[str] = None, cfg=None) -> dict:
-    """grad-paths/s: value+grad of the image MSE w.r.t. material parameters
+def run_backward_bench(
+    scene: Optional[str] = None,
+    cfg=None,
+    param_fields=("mat_albedo", "mat_emissive"),
+    metric: str = "cornell_128x128x4spp_b4_backward",
+) -> dict:
+    """grad-paths/s: value+grad of the image MSE w.r.t. ``param_fields``
     through the full differentiable wavefront (BASELINE.md backward metric).
+
+    Material/light params route to the fast shading-only custom_vjp path;
+    geometry params (``tri_a``) route to the general differentiable scan
+    whose backward flows through the Möller-Trumbore vjp
+    (``inverse._resolve_diff_integrator``) — both regimes are benched.
 
     All cfg.samples passes are fused into ONE launch (sample-batched rays) —
     the same batching that drives the forward number; see
@@ -134,18 +172,20 @@ def run_backward_bench(scene: Optional[str] = None, cfg=None) -> dict:
     fs, static = R.load_scene(scene, quirks=cfg.quirks)
     n_pixels = cfg.width * cfg.height
     target = jnp.zeros((n_pixels, 3))
-    loss_fn = inverse.make_batch_loss_fn(static, cfg, target, cfg.samples)
+    loss_fn = inverse.make_batch_loss_fn(
+        static, cfg, target, cfg.samples, param_fields=param_fields
+    )
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    params = {"mat_albedo": fs.mat_albedo, "mat_emissive": fs.mat_emissive}
+    params = {f: getattr(fs, f) for f in param_fields}
 
     out = grad_fn(params, fs)
     jax.block_until_ready(out)
     _sync(out)
-    dt = _timed_passes(lambda: grad_fn(params, fs), reps=3)
+    dt = _timed_passes(lambda: grad_fn(params, fs), reps=2)
     paths = n_pixels * cfg.samples
     value = paths / dt
     return {
-        "metric": "cornell_128x128x4spp_b4_backward",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "grad-paths/s",
         "elapsed_s": round(dt, 3),
@@ -315,7 +355,7 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
     out = sweep(fs, orig, dirn)
     jax.block_until_ready(out)
     _sync(out)
-    dt = _timed_passes(lambda: sweep(fs, orig, dirn), reps=10)
+    dt = _timed_passes(lambda: sweep(fs, orig, dirn), reps=4)
 
     tests = visited_tiles * ip.RB * ip.TT
     flops = tests * MT_FLOPS
@@ -339,6 +379,14 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
     }
 
 
+def _sponza_path() -> str:
+    """The sponza-new stand-in (the reference's default worker fixture ships
+    without its geometry buffer — ``ptx.scene.standin``)."""
+    from ptx.scene.standin import sponza_standin
+
+    return sponza_standin()
+
+
 def extra_benches(tiny: bool = False):
     """The ``extra`` sub-bench table: ``name -> zero-arg callable``.
 
@@ -356,11 +404,18 @@ def extra_benches(tiny: bool = False):
             "backward": lambda: run_backward_bench(
                 cfg=RenderConfig(**small)
             ),
+            "vertex_backward": lambda: run_backward_bench(
+                cfg=RenderConfig(**small),
+                param_fields=("tri_a",), metric="vertex_backward_tiny",
+            ),
             "intersect_roofline": lambda: run_intersect_roofline(
                 n_rays=2048, n_tris=2048
             ),
             "jack_256x256x4spp_b4_forward": lambda: run_scene_bench(
                 JACK, "jack_tiny_forward", RenderConfig(**small)
+            ),
+            "sponza_256x256x4spp_b4_forward": lambda: run_scene_bench(
+                _sponza_path(), "sponza_tiny_forward", RenderConfig(**small)
             ),
             "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
                 "synthetic:8192", "soup_tiny_forward", RenderConfig(**small)
@@ -368,17 +423,28 @@ def extra_benches(tiny: bool = False):
         }
     full = dict(width=256, height=256, samples=4, bounces=4,
                 intersector="pallas")
+    # Ordered by evidentiary value: whatever the deadline cuts off, the
+    # roofline + backward numbers land first (VERDICT r3 "done" criteria).
     return {
-        "backward": run_backward_bench,
-        "intersect_roofline": run_intersect_roofline,
         "pallas_intersect_roofline": run_pallas_roofline,
+        "backward": run_backward_bench,
+        "vertex_backward": lambda: run_backward_bench(
+            param_fields=("tri_a",),
+            metric="cornell_128x128x4spp_b4_vertex_backward",
+        ),
         "jack_256x256x4spp_b4_forward": lambda: run_scene_bench(
-            JACK, "jack_256x256x4spp_b4_forward", RenderConfig(**full)
+            JACK, "jack_256x256x4spp_b4_forward", RenderConfig(**full),
+            reps=2,
+        ),
+        "sponza_256x256x4spp_b4_forward": lambda: run_scene_bench(
+            _sponza_path(), "sponza_256x256x4spp_b4_forward",
+            RenderConfig(**full), reps=2,
         ),
         "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
             "synthetic:1000000", "soup1m_256x256x4spp_b4_forward",
-            RenderConfig(**full)
+            RenderConfig(**full), reps=2,
         ),
+        "intersect_roofline": run_intersect_roofline,
     }
 
 
@@ -387,7 +453,17 @@ def run_bench(
     cfg=None,
     warmup_samples: int = 1,
     tiny: bool = False,
+    emit=None,
+    deadline: Optional[float] = None,
 ) -> dict:
+    """Measure the headline + extras.
+
+    ``emit(result)`` (when given) is called the moment the headline is
+    measured and again after every completed extra, so the caller can print
+    a complete JSON line incrementally — a hung or deadline-cut extra can
+    never swallow the headline (round 3's rc-124 lesson).  ``deadline`` is a
+    ``time.monotonic()`` value past which no further extra *starts*.
+    """
     import jax
 
     from ptx.config import RenderConfig
@@ -408,19 +484,23 @@ def run_bench(
     result["vs_baseline"] = round(value / BASELINE_PATHS_PER_SEC, 3)
     result["baseline_paths_per_s"] = BASELINE_PATHS_PER_SEC
     result["device"] = str(jax.devices()[0])
+    if emit is not None:
+        emit(result)
 
     if os.environ.get("PTX_BENCH_FULL", "1") != "0":
         # Wall-clock budget for the extra sub-benches (compiles through the
         # TPU tunnel are slow); whatever doesn't fit is marked skipped so the
         # headline JSON line always lands.
-        budget_s = float(os.environ.get("PTX_BENCH_BUDGET_S", "420"))
-        t_start = time.perf_counter()
+        if deadline is None:
+            budget_s = float(os.environ.get("PTX_BENCH_BUDGET_S", "420"))
+            deadline = time.monotonic() + budget_s
         extra = {}
+        result["extra"] = extra
 
         def _run(name, fn):
-            elapsed = time.perf_counter() - t_start
-            if elapsed > budget_s:
-                extra[name] = {"skipped": f"budget ({elapsed:.0f}s elapsed)"}
+            late = time.monotonic() - deadline
+            if late > 0:
+                extra[name] = {"skipped": f"deadline ({late:.0f}s past)"}
                 return
             t0 = time.perf_counter()
             try:
@@ -431,8 +511,11 @@ def run_bench(
                 extra[name] = {"error": repr(e)}
             extra[name]["total_s"] = round(time.perf_counter() - t0, 1)
             print(f"[bench] {name}: {extra[name]}", file=__import__("sys").stderr)
+            if emit is not None:
+                emit(result)
 
         for name, fn in extra_benches(tiny).items():
             _run(name, fn)
-        result["extra"] = extra
+        if emit is not None:
+            emit(result)  # record skipped/error markers in the final line
     return result

@@ -31,6 +31,34 @@ def test_tiny_bench_has_all_entries_and_no_errors(tmp_path, monkeypatch):
     json.dumps(result)
 
 
+def test_emit_fires_before_and_during_extras(monkeypatch):
+    # The headline must be emitted BEFORE any extra starts (round 3's
+    # timeout captured nothing because the line printed last), and again
+    # after each completed extra.
+    monkeypatch.setenv("PTX_BENCH_FULL", "1")
+    emitted = []
+    bench.run_bench(tiny=True, emit=lambda r: emitted.append(json.dumps(r)))
+    assert len(emitted) >= 2
+    first = json.loads(emitted[0])
+    assert "extra" not in first and first["value"] > 0
+    last = json.loads(emitted[-1])
+    assert set(bench.extra_benches(tiny=True)) <= set(last["extra"])
+
+
+def test_past_deadline_skips_extras_but_emits_headline(monkeypatch):
+    monkeypatch.setenv("PTX_BENCH_FULL", "1")
+    import time
+
+    emitted = []
+    result = bench.run_bench(
+        tiny=True,
+        emit=lambda r: emitted.append(dict(r)),
+        deadline=time.monotonic() - 1.0,
+    )
+    assert emitted and emitted[0]["value"] > 0
+    assert all("skipped" in e for e in result["extra"].values())
+
+
 def test_full_extra_bench_table_entries_are_callable():
     # The full-size table must name the same code paths the tiny one walks
     # (so the smoke run really covers the driver's run), plus the
