@@ -141,8 +141,11 @@ def ensure_accel(fs: FlatScene, static: SceneStatic, cfg: RenderConfig,
 def resolve_shader(cfg: RenderConfig) -> str:
     if cfg.shader != "auto":
         return cfg.shader
-    n_pixels = cfg.width * cfg.height
-    return "pallas" if n_pixels % 128 == 0 else "xla"
+    # The fused Pallas shader needs the per-launch ray count to be a
+    # multiple of 128 lanes; with frame chunking active the launch is the
+    # chunk, not the full frame.
+    launch = resolve_rays_per_batch(cfg) or (cfg.width * cfg.height)
+    return "pallas" if launch % 128 == 0 else "xla"
 
 
 def make_integrator_for(static: SceneStatic, cfg: RenderConfig):
@@ -172,7 +175,7 @@ def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
     """
     integrator = make_integrator_for(static, cfg)
     n_pixels = cfg.width * cfg.height
-    chunk = cfg.rays_per_batch
+    chunk = resolve_rays_per_batch(cfg)
     if chunk is None or chunk >= n_pixels:
 
         @jax.jit
@@ -215,6 +218,32 @@ def make_sample_fn(static: SceneStatic, cfg: RenderConfig):
 # 2^15 batches small frames to the optimum and leaves >=64k-pixel frames at
 # one sample per launch.
 MAX_RAYS_PER_LAUNCH = 1 << 15
+
+
+def resolve_rays_per_batch(cfg: RenderConfig):
+    """Per-launch pixel chunk, or ``None`` for whole-frame launches.
+
+    Frames larger than the measured launch-size optimum are auto-chunked:
+    a 256x256 frame (65k rays) runs -5% when launched whole, 512x512 -19%,
+    1080p -26% (the tools/sweep_k.py sweep) — so over-cap frames render in
+    the largest divisor of the pixel count that fits MAX_RAYS_PER_LAUNCH,
+    preferring multiples of 128 so the fused Pallas shader stays eligible.
+    An explicit ``cfg.rays_per_batch`` always wins.
+    """
+    if cfg.rays_per_batch is not None:
+        return cfg.rays_per_batch
+    n_pixels = cfg.width * cfg.height
+    if n_pixels <= MAX_RAYS_PER_LAUNCH:
+        return None
+    for m in range(MAX_RAYS_PER_LAUNCH // 128, 0, -1):
+        if n_pixels % (128 * m) == 0:
+            return 128 * m
+    for c in range(MAX_RAYS_PER_LAUNCH, 0, -1):
+        if n_pixels % c == 0:
+            # A 1-pixel "divisor" means the count is prime-ish: chunking
+            # to single rays would be absurd, launch the whole frame.
+            return c if c > 1 else None
+    return None
 
 
 def resolve_samples_per_launch(cfg: RenderConfig, ways: int = 1) -> int:
@@ -341,13 +370,17 @@ def render(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 5,
     metrics=None,
+    preview_path: Optional[str] = None,
 ) -> RenderResult:
     """Render ``cfg.samples`` progressive sample passes.
 
     With ``checkpoint_path``, resumes from a compatible checkpoint and writes
     one every ``checkpoint_every`` samples (the reference's save-every-5
     cadence, ``renderer.cpp:409``); the absolute-sample-id RNG makes the
-    resumed image identical to an uninterrupted run.
+    resumed image identical to an uninterrupted run.  Each checkpoint also
+    writes a viewable tonemapped preview PNG (the reference's periodic image
+    flush, ``renderer.cpp:409-424``) to ``preview_path``, defaulting to
+    ``<checkpoint_path>.preview.png``.
     """
     fs, static = ensure_accel(fs, static, cfg, device=True)
     k = resolve_samples_per_launch(cfg)
@@ -361,6 +394,7 @@ def render(
         checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every,
         metrics=metrics,
+        preview_path=preview_path,
     )
 
 
@@ -376,6 +410,7 @@ def progressive_render(
     checkpoint_every: int = 5,
     metrics=None,
     replicate=None,
+    preview_path: Optional[str] = None,
 ) -> RenderResult:
     """The progressive sample loop shared by single-chip :func:`render` and
     :func:`ptx.parallel.dist.render_distributed`: running-mean / claim-blend
@@ -416,13 +451,17 @@ def progressive_render(
             else:
                 carry = (jnp.asarray(loaded.color), jnp.asarray(loaded.alpha))
 
+    if checkpoint_path is not None and preview_path is None:
+        preview_path = checkpoint_path + ".preview.png"
+
     def write_checkpoint(done):
         c = replicate(carry) if replicate is not None else carry
+        color_h, alpha_h = np.asarray(c[0]), np.asarray(c[1])
         ckpt_mod.save(
             checkpoint_path,
             ckpt_mod.Checkpoint(
-                color=np.asarray(c[0]),
-                alpha=np.asarray(c[1]),
+                color=color_h,
+                alpha=alpha_h,
                 claimed=(
                     np.asarray(c[2]) if cfg.transparent_background else None
                 ),
@@ -430,6 +469,14 @@ def progressive_render(
                 fingerprint=fingerprint,
             ),
         )
+        if preview_path is not None:
+            # Viewable partial image every checkpoint — the reference writes
+            # a PNG every 5 samples (core/renderer.cpp:409-424).
+            from ptx.io.png import write_png
+
+            img = np.asarray(accumulate.finalize(color_h, alpha_h))
+            write_png(preview_path,
+                      img.reshape(cfg.height, cfg.width, 4))
 
     import contextlib
 

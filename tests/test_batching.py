@@ -45,6 +45,47 @@ def test_resolve_samples_per_launch_auto():
     assert R.resolve_samples_per_launch(cfg) == 1  # chunked-frame mode
 
 
+def test_resolve_rays_per_batch_auto_chunks_over_cap_frames():
+    # Frames past the measured 32k-ray launch optimum auto-chunk to the
+    # largest 128-aligned divisor that fits (VERDICT r3 task 3).
+    assert R.resolve_rays_per_batch(RenderConfig(width=64, height=64)) is None
+    assert (
+        R.resolve_rays_per_batch(RenderConfig(width=256, height=256)) == 32768
+    )
+    assert (
+        R.resolve_rays_per_batch(RenderConfig(width=512, height=512)) == 32768
+    )
+    c = R.resolve_rays_per_batch(RenderConfig(width=1920, height=1080))
+    assert c == 28800  # largest 128-multiple divisor of 1080p under 2^15
+    # Explicit rays_per_batch always wins.
+    assert (
+        R.resolve_rays_per_batch(
+            RenderConfig(width=256, height=256, rays_per_batch=8192)
+        )
+        == 8192
+    )
+
+
+def test_auto_chunked_render_matches_whole_frame():
+    """Chunked launches bit-match a whole-frame launch (absolute-id RNG)."""
+    import ptx.render as render_mod
+
+    cfg = RenderConfig(width=32, height=32, samples=2, bounces=2,
+                       intersector="brute")
+    fs, static = R.load_scene(CORNELL, quirks=cfg.quirks)
+    whole = R.render(fs, static, cfg)
+    # Force the auto-chunk path by shrinking the cap below the frame size.
+    orig = render_mod.MAX_RAYS_PER_LAUNCH
+    render_mod.MAX_RAYS_PER_LAUNCH = 256
+    try:
+        assert R.resolve_rays_per_batch(cfg) == 256
+        chunked = R.render(fs, static, cfg)
+    finally:
+        render_mod.MAX_RAYS_PER_LAUNCH = orig
+    np.testing.assert_array_equal(chunked.color, whole.color)
+    np.testing.assert_array_equal(chunked.alpha, whole.alpha)
+
+
 def test_batched_loss_zero_at_truth_and_matches_scan():
     """The fused-sample batch loss is exactly the per-sample mean MSE."""
     import jax
