@@ -129,6 +129,12 @@ def cmd_render(args) -> int:
     from ptx.utils import Metrics, profiler_trace
 
     metrics = Metrics() if (args.metrics or args.profile) else None
+    # Periodic viewable preview (reference renderer.cpp:409-424) lands next
+    # to the output: out.png -> out.preview.png.
+    import os as _os
+
+    preview = (_os.path.splitext(args.out)[0] + ".preview.png"
+               if args.checkpoint else None)
     t0 = time.time()
     with profiler_trace(args.profile):
         if args.distributed:
@@ -149,12 +155,13 @@ def cmd_render(args) -> int:
             res = pdist.render_distributed(
                 fs, static, cfg, plan=plan, comm=args.comm,
                 progress=progress, checkpoint_path=args.checkpoint,
-                checkpoint_every=args.checkpoint_every, metrics=metrics)
+                checkpoint_every=args.checkpoint_every, metrics=metrics,
+                preview_path=preview)
         else:
             res = R.render(fs, static, cfg, progress=progress,
                            checkpoint_path=args.checkpoint,
                            checkpoint_every=args.checkpoint_every,
-                           metrics=metrics)
+                           metrics=metrics, preview_path=preview)
     dt = time.time() - t0
     rays = cfg.width * cfg.height * cfg.samples
     print(f"\nrendered {rays} primary rays in {dt:.2f}s "
@@ -225,7 +232,9 @@ def main(argv=None) -> int:
 
     # Persistent compile cache: repeat invocations skip the (tunneled-TPU)
     # XLA compile, which otherwise dominates CLI cold start.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
+    from ptx.utils import enable_compile_cache
+
+    enable_compile_cache(jax)
     return args.fn(args)
 
 

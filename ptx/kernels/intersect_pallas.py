@@ -555,7 +555,11 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
     t_exact, beta, gamma, _ = geometry.moller_trumbore(
         orig, dirn, fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
     )
-    hit = t_trunc < HIT_T
+    # hit requires BOTH signals: the kernel's truncated winner AND a finite
+    # recompute — a boundary hit the recompute's eps test rejects must not
+    # ship as hit=True with t=INF (inconsistent payload for the distributed
+    # min-distance reduce; ADVICE r3).
+    hit = (t_trunc < HIT_T) & (t_exact < INF)
     t = jnp.where(hit, t_exact, INF)
     return attrs_from_indices(fs, t, tri, beta, gamma, hit)
 

@@ -154,7 +154,16 @@ def build_shard_scene(
         for i, f in enumerate(BVH_FIELDS):
             stacked[f] = np.concatenate([p[i] for p in padded], axis=0)
 
-    fs_stacked = host._replace(**stacked)
+    # Reset any prepacked traversal tiles (attach_tiles): they index the
+    # *global* triangle order, and the shard-stacked arrays below are a
+    # different layout — carrying them over would make _scene_tiles gather
+    # global tile ids from shard-local arrays (silently wrong images).
+    # Per-shard sweeps repack in-call; ADVICE r3 medium.
+    fs_stacked = host._replace(
+        **stacked,
+        ptiles=np.zeros((0, 16, 1), np.float32),
+        pboxes=np.zeros((0, 8), np.float32),
+    )
     static_local = dataclasses.replace(
         static,
         n_tris=max(counts),

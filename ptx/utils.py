@@ -17,6 +17,27 @@ from typing import Dict, Optional
 log = logging.getLogger("ptx")
 
 
+def compile_cache_dir() -> str:
+    """Per-user persistent XLA compile-cache location.
+
+    A shared, predictable /tmp path lets another user pre-create the
+    directory and read or poison cached executables (ADVICE r3) — use
+    ``$XDG_CACHE_HOME/ptx-jax`` (default ``~/.cache/ptx-jax``) instead.
+    """
+    import os
+
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(base, "ptx-jax")
+
+
+def enable_compile_cache(jax) -> None:
+    """Point JAX's persistent compile cache at :func:`compile_cache_dir`
+    (first tunnel compiles run 20-40 s; repeat invocations hit disk)."""
+    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
 @dataclasses.dataclass
 class PhaseStat:
     calls: int = 0

@@ -22,9 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache keeps repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from ptx.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(jax)
 
 
 def pytest_configure(config):

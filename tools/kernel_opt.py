@@ -21,7 +21,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ptx-jax-cache")
+import sys as _sys; _sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from ptx.utils import enable_compile_cache
+
+enable_compile_cache(jax)
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -231,15 +234,20 @@ def main():
 
     # Variant: wider tiles.
     for tt in (1024, 256):
-        saved_tt = ip.TT
+        # Patch the whole packed-key constant set, not just TT: lanes >= 512
+        # would otherwise OR into uncleared mantissa bits of the TT=512 key
+        # (corrupt winners; ADVICE r3).
+        saved = (ip.TT, ip.LANE_BITS, ip.INIT_KEY)
         ip.TT = tt
+        ip.LANE_BITS = tt - 1
+        ip.INIT_KEY = ip._init_key()
         try:
             dtp2, (tiles2, boxes2) = bench(jax.jit(ip.pack_tris), fs)
             dt_tt, (t3_, i3_) = bench(jax.jit(sweep_prepacked), rays,
                                       jax.device_put(tiles2),
                                       jax.device_put(boxes2))
         finally:
-            ip.TT = saved_tt
+            ip.TT, ip.LANE_BITS, ip.INIT_KEY = saved
         agree = float(jnp.mean(((t3_ < ip.INF) == (t0_ < ip.INF)).astype(jnp.float32)))
         print(f"TT={tt:4d} prepacked         : {dt_tt*1e3:8.3f} ms  "
               f"(hit agree {agree:.6f})")
