@@ -122,12 +122,45 @@ def split_scene(
     nodes = gltf.get("nodes", [])
     meshes = gltf.get("meshes", [])
 
-    # Pass 1: total primitive count over *root* nodes with meshes (the
-    # reference only walks scene.nodes, not children — preserved).
+    # DFS pre-order over the node tree — the SAME traversal as the loader
+    # (``gltf.load``'s walk recurses into children, ``gltf.py:459-460``).
+    # This deliberately diverges from the reference partitioner, which walks
+    # only scene.nodes (``preprocessor.py:37-49``): a root-only walk never
+    # assigns child-node meshes, so every worker's scene_work filter would
+    # silently drop them (partitioner/loader disagreement, VERDICT r3 #7).
+    def mesh_node_indices():
+        out: List[int] = []
+
+        def walk(i: int):
+            if "mesh" in nodes[i]:
+                out.append(i)
+            for c in nodes[i].get("children", []):
+                walk(c)
+
+        for root in scene.get("nodes", []):
+            walk(root)
+        return out
+
+    mesh_nodes = mesh_node_indices()
+
+    # scene_work is keyed by mesh NAME (the reference payload contract,
+    # ``work_info.hpp:11-15``); two DIFFERENT meshes sharing a name would
+    # silently mis-shard on load — fail loud instead.  (The same mesh
+    # instanced by several nodes is fine: every instance loads the shard's
+    # allowed primitive ids, matching the reference's name-filtered load.)
+    name_of: Dict[str, int] = {}
+    for i in mesh_nodes:
+        m = nodes[i]["mesh"]
+        mesh_name = meshes[m].get("name", f"mesh{m}")
+        if name_of.setdefault(mesh_name, m) != m:
+            raise ValueError(
+                f"two distinct meshes share the name {mesh_name!r}; the "
+                "name-keyed scene_work contract cannot shard them — rename "
+                "one of them"
+            )
+
     total_primitives = sum(
-        len(meshes[nodes[i]["mesh"]].get("primitives", []))
-        for i in scene.get("nodes", [])
-        if "mesh" in nodes[i]
+        len(meshes[nodes[i]["mesh"]].get("primitives", [])) for i in mesh_nodes
     )
 
     split: Dict[int, WorkerShard] = {}
@@ -136,10 +169,8 @@ def split_scene(
     current_primitive = 0
     total_size = 0.0
 
-    for node_idx in scene.get("nodes", []):
+    for node_idx in mesh_nodes:
         node = nodes[node_idx]
-        if "mesh" not in node:
-            continue
         mesh = meshes[node["mesh"]]
         mesh_name = mesh.get("name", f"mesh{node['mesh']}")
         for prim_id, prim in enumerate(mesh.get("primitives", [])):
