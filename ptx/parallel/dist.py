@@ -349,6 +349,7 @@ def render_distributed(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 5,
     metrics=None,
+    preview_path: Optional[str] = None,
 ):
     """Multi-chip progressive render (same contract as ``ptx.render.render``,
     including checkpoint/resume — the accumulated mean + sample count is
@@ -386,4 +387,5 @@ def render_distributed(
         checkpoint_every=checkpoint_every,
         metrics=metrics,
         replicate=replicator(mesh),
+        preview_path=preview_path,
     )

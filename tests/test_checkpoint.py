@@ -53,3 +53,29 @@ def test_checkpoint_rejects_mismatched_config(cornell, tmp_path):
 
 def test_checkpoint_missing_file(tmp_path):
     assert ck.load(str(tmp_path / "nope.npz")) is None
+
+
+def test_preview_png_written_and_matches_checkpoint_state(cornell, tmp_path):
+    """Each checkpoint writes a viewable preview that is exactly
+    finalize() of the checkpointed accumulator (reference's periodic image
+    flush, core/renderer.cpp:409-424; VERDICT r3 #8)."""
+    from ptx.integrator import accumulate
+    from ptx.io.png import read_png
+
+    fs, static = cornell
+    path = str(tmp_path / "render.ckpt.npz")
+    preview = str(tmp_path / "partial.preview.png")
+    R.render(fs, static, _cfg(3), checkpoint_path=path, checkpoint_every=1,
+             preview_path=preview)
+    assert os.path.exists(preview)
+    loaded = ck.load(path)
+    img = read_png(preview)
+    expect = np.asarray(
+        accumulate.finalize(loaded.color, loaded.alpha)
+    ).reshape(24, 24, 4)
+    np.testing.assert_array_equal(img, expect)
+
+    # Default location (no explicit preview_path): next to the checkpoint.
+    path2 = str(tmp_path / "render2.ckpt.npz")
+    R.render(fs, static, _cfg(3), checkpoint_path=path2, checkpoint_every=1)
+    assert os.path.exists(path2 + ".preview.png")
