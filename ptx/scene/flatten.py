@@ -290,12 +290,19 @@ def flatten(
             slot(mat.emissive_tex),
         ]
 
-    if cursor >= (1 << 24):
-        # Texture addressing runs in float32 (exact integers < 2^24) — see
-        # ptx/scene/textures.py.  Split packs or mip large textures past this.
+    # Texture addressing: the *within-texture* index runs in float32 (exact
+    # integers < 2^24), pack offsets stay int32 — see ptx/scene/textures.py.
+    # So the guard is per texture, not per pack (sponza-new's real texture
+    # set packs 68M texels and must flatten single-chip).
+    biggest = max((w * h for w, h in zip(widths, heights)), default=0)
+    if biggest >= (1 << 24):
         raise ValueError(
-            f"texture pack has {cursor} texels (>= 2^24); float32 addressing "
-            "would lose exactness"
+            f"largest texture has {biggest} texels (>= 2^24); float32 "
+            "within-texture addressing would lose exactness — mip it"
+        )
+    if cursor >= (1 << 31):
+        raise ValueError(
+            f"texture pack has {cursor} texels; int32 addressing overflows"
         )
 
     sun = scene.sun

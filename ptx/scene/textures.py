@@ -32,12 +32,13 @@ def sample_texture(fs: FlatScene, tex_idx, uv, static=None):
     """Bilinear sample.  ``tex_idx``: [R] i32 pack slots; ``uv``: [R, 2].
     Returns linear RGBA [R, 4].
 
-    PERFORMANCE NOTE: all index arithmetic is float32 with a single final
-    int cast.  Integer mod/div has no hardware path on the TPU VPU — the
-    naive ``jnp.mod(int32)`` wrap expanded to ~1.7M-cycle fusions and made
-    texture addressing the single hottest thing in the whole integrator
-    (~25 ms/step); float fmod is three fast VPU ops and exact for any texel
-    index below 2^24 (flatten.py guards the pack size).
+    PERFORMANCE NOTE: within-texture index arithmetic is float32 with a
+    single final int cast plus one int32 offset add.  Integer mod/div has no
+    hardware path on the TPU VPU — the naive ``jnp.mod(int32)`` wrap
+    expanded to ~1.7M-cycle fusions and made texture addressing the single
+    hottest thing in the whole integrator (~25 ms/step); float fmod is three
+    fast VPU ops and exact for any within-texture index below 2^24
+    (flatten.py guards per-texture size; the pack itself is int32-bounded).
 
     TEXTURE SHARDING: when ``static.tex_shard_len > 0`` the texel pack is
     split along the scene (tp) axis (whole textures per shard —
@@ -53,7 +54,6 @@ def sample_texture(fs: FlatScene, tex_idx, uv, static=None):
     """
     w = fs.tex_width[tex_idx].astype(jnp.float32)
     h = fs.tex_height[tex_idx].astype(jnp.float32)
-    off = fs.tex_offset[tex_idx].astype(jnp.float32)
 
     # Pixel center with V flip (image_texture.cpp:31-32).
     cx = uv[..., 0] * w - 0.5
@@ -94,7 +94,11 @@ def sample_texture(fs: FlatScene, tex_idx, uv, static=None):
     else:
 
         def texel(xf, yf):
-            idx = (off + yf * w + xf).astype(jnp.int32)
+            # Only the *within-texture* index rides float32 (exact: one
+            # texture < 2^24 texels, guarded at flatten); the pack offset
+            # stays int32, so the whole pack may exceed 2^24 texels (sponza's
+            # real texture set is 68M texels).
+            idx = fs.tex_offset[tex_idx] + (yf * w + xf).astype(jnp.int32)
             return fs.tex_texels[idx]
 
     tl = texel(x0f, y0f)
