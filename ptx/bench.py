@@ -140,6 +140,27 @@ def _timed_passes(run_pass, reps: int):
     return dt_fenced if dt < 0.5 * dt_fenced else dt
 
 
+def _timed_burst(run_pass, reps: int = 3, k: int = 8):
+    """Per-call device time with the tunnel's block round-trip amortized.
+
+    A single dispatch+block through the tunneled TPU pays a ~20-25 ms host
+    round trip — enough to swamp a sub-100 ms kernel sweep (the round-3
+    roofline numbers carried it in full).  Timing a burst of ``k`` async
+    dispatches against one block and differencing out the single-call
+    measurement isolates the device time.
+    """
+    dt1 = _timed_passes(run_pass, reps)
+
+    def burst():
+        out = None
+        for _ in range(k):
+            out = run_pass()
+        return out
+
+    dtk = _timed_passes(burst, max(reps - 1, 1))
+    return max((dtk - dt1) / (k - 1), 1e-9)
+
+
 def run_backward_bench(
     scene: Optional[str] = None,
     cfg=None,
@@ -276,7 +297,7 @@ def run_intersect_roofline(n_rays: int = 65536, n_tris: int = 65536) -> dict:
     out = sweep(fs, orig, dirn)
     jax.block_until_ready(out)
     _sync(out)
-    dt = _timed_passes(lambda: sweep(fs, orig, dirn), reps=5)
+    dt = _timed_burst(lambda: sweep(fs, orig, dirn), reps=3)
 
     t_padded = int(static.n_tris_padded)
     tests = n_rays * t_padded
@@ -355,7 +376,7 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
     out = sweep(fs, orig, dirn)
     jax.block_until_ready(out)
     _sync(out)
-    dt = _timed_passes(lambda: sweep(fs, orig, dirn), reps=4)
+    dt = _timed_burst(lambda: sweep(fs, orig, dirn), reps=3)
 
     tests = visited_tiles * ip.RB * ip.TT
     flops = tests * MT_FLOPS

@@ -37,12 +37,30 @@ DIFFERENTIABLE_FIELDS = (
     "mat_opacity",
     "sun_energy",
     "tex_texels",
+    "tri_a",
+    "tri_e1",
+    "tri_e2",
 )
+
+
+# tri_attrs mirrors the triangle vertex data in columns 25-33 (the packed
+# single-gather hit epilogue, ptx.scene.flatten).  Geometry params must be
+# written into BOTH places, functionally, so (a) renders see the update and
+# (b) gradients flow through the packed-row gathers too.
+_GEOM_ATTR_COLS = {"tri_a": (25, 28), "tri_e1": (28, 31), "tri_e2": (31, 34)}
 
 
 def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
     """Overlay an optimization-parameter dict onto a FlatScene."""
-    return fs._replace(**params)
+    fs = fs._replace(**params)
+    geom = [k for k in params if k in _GEOM_ATTR_COLS]
+    if geom and fs.tri_attrs.shape[0] == fs.tri_a.shape[0]:
+        at = fs.tri_attrs
+        for k in geom:
+            lo, hi = _GEOM_ATTR_COLS[k]
+            at = at.at[:, lo:hi].set(params[k])
+        fs = fs._replace(tri_attrs=at)
+    return fs
 
 
 def extract_params(fs: FlatScene, fields: Sequence[str]) -> Dict[str, jnp.ndarray]:

@@ -60,30 +60,34 @@ class RayState(NamedTuple):
     sample_ids: jnp.ndarray  # [R] i32
 
 
-def compute_hit_attrs(fs: FlatScene, tri, beta, gamma):
+def compute_hit_attrs(fs: FlatScene, tri, beta, gamma, at=None):
     """Barycentric attribute interpolation at hit points — the flat-array
     version of ``distributed_scene::intersect``'s attribute block
     (``src/scene/intersect.cpp:112-150``).  Normals/tangents were baked with
     the normal matrix at flatten time; interpolate *then* normalize, matching
     the reference order.
 
-    Shading attributes come from the packed ``tri_attrs`` row when flatten
-    built it (one [R, 32] gather instead of eleven — TPU gathers are the
-    per-hit bottleneck); values are identical either way."""
+    Everything comes from the packed ``tri_attrs`` row when flatten built it
+    (ONE [R, 40] gather, including the vertex data for the position — TPU
+    row gathers cost per *op*, not per byte); values are identical either
+    way.  Pass ``at`` when the caller already gathered the rows."""
     alpha_w = 1.0 - beta - gamma
     w0, w1, w2 = alpha_w[..., None], beta[..., None], gamma[..., None]
-    position = fs.tri_a[tri] + fs.tri_e1[tri] * beta[..., None] + fs.tri_e2[tri] * gamma[..., None]
-    if fs.tri_attrs.shape[0] == fs.tri_a.shape[0]:
-        at = fs.tri_attrs[tri]  # [R, 32]
+    if at is None and fs.tri_attrs.shape[0] == fs.tri_a.shape[0]:
+        at = fs.tri_attrs[tri]  # [R, 40]
+    if at is not None:
         n0, n1, n2 = at[..., 0:3], at[..., 3:6], at[..., 6:9]
         t0, t1, t2 = at[..., 9:12], at[..., 12:15], at[..., 15:18]
         uv0, uv1, uv2 = at[..., 18:20], at[..., 20:22], at[..., 22:24]
         mat_id = at[..., 24].astype(jnp.int32)
+        a, e1, e2 = at[..., 25:28], at[..., 28:31], at[..., 31:34]
     else:
         n0, n1, n2 = fs.n0[tri], fs.n1[tri], fs.n2[tri]
         t0, t1, t2 = fs.t0[tri], fs.t1[tri], fs.t2[tri]
         uv0, uv1, uv2 = fs.uv0[tri], fs.uv1[tri], fs.uv2[tri]
         mat_id = fs.mat_id[tri]
+        a, e1, e2 = fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
+    position = a + e1 * beta[..., None] + e2 * gamma[..., None]
     normal = pmath.normalize(n0 * w0 + n1 * w1 + n2 * w2)
     tangent = pmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
     uv = uv0 * w0 + uv1 * w1 + uv2 * w2

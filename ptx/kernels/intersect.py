@@ -117,12 +117,14 @@ class Hit(NamedTuple):
     mat_id: jnp.ndarray  # [R] i32
 
 
-def attrs_from_indices(fs: FlatScene, t, tri, beta, gamma, hit) -> Hit:
-    """Resolve (triangle index, barycentrics) to the :class:`Hit` payload."""
+def attrs_from_indices(fs: FlatScene, t, tri, beta, gamma, hit,
+                       at=None) -> Hit:
+    """Resolve (triangle index, barycentrics) to the :class:`Hit` payload.
+    ``at``: optionally the already-gathered ``tri_attrs`` rows."""
     from ptx.integrator.wavefront import compute_hit_attrs
 
     position, n_interp, tangent, uv, mat_id = compute_hit_attrs(
-        fs, tri, beta, gamma
+        fs, tri, beta, gamma, at=at
     )
     return Hit(hit, t, position, n_interp, tangent, uv, mat_id)
 

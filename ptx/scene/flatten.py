@@ -86,10 +86,12 @@ class FlatScene(NamedTuple):
     sun_angular_radius: np.ndarray  # scalar
     # Flattened stackless BVH (dummy 1-node arrays until ptx.accel.build_bvh
     # attaches the real thing; presence is SceneStatic.n_bvh_nodes > 0).
-    # Packed per-triangle shading attributes for the fused kernel path:
-    # one gather instead of eleven. Columns: n0(3) n1(3) n2(3) t0(3) t1(3)
-    # t2(3) uv0(2) uv1(2) uv2(2) mat_id(1) pad -> 32.
-    tri_attrs: np.ndarray = np.zeros((1, 32), np.float32)  # [N, 32]
+    # Packed per-triangle shading attributes: ONE gather resolves a hit.
+    # Columns: n0(3) n1(3) n2(3) t0(3) t1(3) t2(3) uv0(2) uv1(2) uv2(2)
+    # mat_id(1) tri_a(3) tri_e1(3) tri_e2(3) pad -> 40.  (Row gathers cost
+    # ~1.4 ms per gather op at 131k indices regardless of width, so the
+    # vertex data rides along instead of three extra gathers.)
+    tri_attrs: np.ndarray = np.zeros((1, 40), np.float32)  # [N, 40]
     # Packed material factors: albedo(3) opacity rough metal emissive(3)
     # ior catcher pad -> 16.  (Texture slots stay in mat_tex.)
     mat_packed: np.ndarray = np.zeros((1, 16), np.float32)  # [M, 16]
@@ -315,7 +317,12 @@ def flatten(
     mat_packed[:, 9] = [mm.ior for mm in mats]
     mat_packed[:, 10] = [1.0 if mm.shadow_catcher else 0.0 for mm in mats]
 
-    tri_attrs = np.zeros((n_padded, 32), np.float32)
+    # One packed row per triangle: EVERYTHING a hit resolution needs in a
+    # SINGLE gather.  TPU row gathers cost ~1.4 ms per gather *op* at 131k
+    # indices regardless of row width (3..48 floats measured identical), so
+    # the winner-triangle vertices ride along in rows 25-33: the closest-hit
+    # epilogue's four gathers (tri_a/e1/e2 + attrs) collapse to one.
+    tri_attrs = np.zeros((n_padded, 40), np.float32)
     tri_attrs[:, 0:3] = flat["n0"]
     tri_attrs[:, 3:6] = flat["n1"]
     tri_attrs[:, 6:9] = flat["n2"]
@@ -326,6 +333,9 @@ def flatten(
     tri_attrs[:, 20:22] = flat["uv1"]
     tri_attrs[:, 22:24] = flat["uv2"]
     tri_attrs[:, 24] = mat_id.astype(np.float32)
+    tri_attrs[:, 25:28] = flat["tri_a"]
+    tri_attrs[:, 28:31] = flat["tri_e1"]
+    tri_attrs[:, 31:34] = flat["tri_e2"]
 
     fs = FlatScene(
         tri_attrs=tri_attrs,

@@ -68,3 +68,28 @@ def test_pallas_render_matches_brute(cornell):
     a = R.render(fs, static, cfg_b)
     b = R.render(fs, static, cfg_p)
     np.testing.assert_allclose(a.color, b.color, rtol=1e-4, atol=1e-5)
+
+
+def test_exact_gate_pallas_matches_xla_gate():
+    """The VMEM-resident Pallas slab gate must produce bit-identical
+    gates and entry distances to the pure-XLA reference formulation."""
+    import numpy as np
+
+    from ptx.kernels import intersect_pallas as ip
+
+    rng = np.random.default_rng(7)
+    rays = np.zeros((256, 8), np.float32)
+    rays[:, 0:3] = rng.normal(size=(256, 3)) * 2
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    rays[:, 3:6] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    rays[7, 3:6] = [1.0, 0.0, 0.0]  # axis-aligned: exercises the 1/0 path
+    boxes = np.zeros((64, 8), np.float32)
+    lo = rng.normal(size=(64, 3)) * 3
+    boxes[:, 0:3] = lo
+    boxes[:, 3:6] = lo + rng.random((64, 3)) * 2
+    g1, n1 = ip._exact_gate(jnp.asarray(rays), jnp.asarray(boxes))
+    g2, n2 = ip._exact_gate_pallas(
+        jnp.asarray(rays), jnp.asarray(boxes), interpret=True
+    )
+    assert bool(jnp.all(g1 == g2))
+    assert bool(jnp.all(jnp.where(g1, n1, 0.0) == jnp.where(g2, n2, 0.0)))

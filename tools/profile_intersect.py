@@ -60,14 +60,27 @@ def main(n_rays=131072, n_tris=262144):
     nb = r_pad // ip.RB
     n_tiles = tris.shape[0]
 
-    def timed(name, fn, *args, reps=6):
+    def timed(name, fn, *args, reps=4, k=8):
+        """Per-call device time with the tunnel dispatch floor amortized:
+        ``k`` async dispatches, one block (single-dispatch timings carry a
+        ~20-25 ms host round-trip floor that made every small piece read as
+        ~23 ms and the sum exceed the fused total)."""
         f = jax.jit(fn)
         out = f(*args)
         jax.block_until_ready(out)
         _sync(out)
-        dt = _timed_passes(lambda: f(*args), reps=reps)
-        print(f"{name:28s} {dt * 1e3:9.3f} ms")
-        return dt, out
+        dt1 = _timed_passes(lambda: f(*args), reps=reps)
+
+        def burst():
+            outs = [f(*args) for _ in range(k)]
+            return outs[-1]
+
+        dtk = _timed_passes(burst, reps=reps)
+        # dtk ~= floor + k * t_call and dt1 ~= floor + t_call.
+        per = max((dtk - dt1) / (k - 1), 0.0) if k > 1 else dt1
+        print(f"{name:28s} {per * 1e3:9.3f} ms/call "
+              f"(single-dispatch {dt1 * 1e3:8.3f} ms)")
+        return per, out
 
     # --- total (production path)
     dt_total, _ = timed(
@@ -110,8 +123,8 @@ def main(n_rays=131072, n_tris=262144):
                 jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 16, ip.TT), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((ip.NBUF, 16, ip.TT), jnp.float32),
+                pltpu.SemaphoreType.DMA((ip.NBUF,)),
             ],
         )(order, count, near, rays, tris)
 
@@ -130,12 +143,15 @@ def main(n_rays=131072, n_tris=262144):
     tri_idx = idx_k[:n_rays, 0]
 
     def epilogue(orig, dirn, t_trunc, tri):
+        # Mirrors the production single-gather epilogue in closest_pallas.
+        at = fs.tri_attrs[tri]
+        a, e1, e2 = at[:, 25:28], at[:, 28:31], at[:, 31:34]
         t_exact, beta, gamma, _ = geometry.moller_trumbore(
-            orig, dirn, fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
+            orig, dirn, a, e1, e2
         )
         hit = (t_trunc < ip.HIT_T) & (t_exact < ip.INF)
         t = jnp.where(hit, t_exact, ip.INF)
-        return attrs_from_indices(fs, t, tri, beta, gamma, hit)
+        return attrs_from_indices(fs, t, tri, beta, gamma, hit, at=at)
 
     dt_epi, _ = timed("epilogue: recompute+attrs", epilogue,
                       orig, dirn, t_trunc, tri_idx)
