@@ -261,6 +261,10 @@ def _exact_gate(rays, boxes):
 # Ray blocks per gate-kernel program: the per-block outputs are [1, T] rows,
 # and TPU tiling wants >= 8 sublanes per written block.
 GATE_SUB = 8
+# Tile-box lanes per inner gate chunk: bounds the kernel's VMEM temps at
+# [128, GATE_LANES] regardless of the scene's tile count (a 1M-tri scene has
+# 1954 tiles; unbounded [128, T] temps blew the 16 MB scoped-vmem stack).
+GATE_LANES = 512
 
 
 def _exact_gate_kernel(rays_ref, boxest_ref, gated_ref, near_ref):
@@ -269,37 +273,57 @@ def _exact_gate_kernel(rays_ref, boxest_ref, gated_ref, near_ref):
     3-5 box hi).  The pure-XLA :func:`_exact_gate` materializes its
     [B, RB, T, 3] broadcast temps through HBM (~20 GB of traffic, 24 ms
     measured at 262k tris); here the [RB, T] planes never leave VMEM."""
-    for s in range(GATE_SUB):
-        near_blk = None
-        gated = None
-        # Reduce in 128-row chunks so VMEM temps stay [128, T] whatever RB
-        # is (a whole-[RB, T] working set OOMs scoped vmem past RB=128).
-        for c in range(RB // 128):
-            base = s * RB + c * 128
-            rays = rays_ref[base:base + 128, :]
-            o = [rays[:, a:a + 1] for a in range(3)]       # [128, 1] each
-            inv = [1.0 / rays[:, 3 + a:4 + a] for a in range(3)]
-            near = None
-            far = None
-            for a in range(3):
-                lo = boxest_ref[a:a + 1, :]                # [1, T]
-                hi = boxest_ref[3 + a:4 + a, :]
-                t0 = (lo - o[a]) * inv[a]                  # [128, T]
-                t1 = (hi - o[a]) * inv[a]
-                tl = jnp.minimum(t0, t1)
-                th = jnp.maximum(t0, t1)
-                tl = jnp.where(jnp.isnan(tl), -jnp.inf, tl)
-                th = jnp.where(jnp.isnan(th), jnp.inf, th)
-                near = tl if near is None else jnp.maximum(near, tl)
-                far = th if far is None else jnp.minimum(far, th)
-            enter = jnp.maximum(near, 0.0)
-            hit = far >= enter
-            nb_c = jnp.min(jnp.where(hit, enter, INF), axis=0, keepdims=True)
-            g_c = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
-            near_blk = nb_c if near_blk is None else jnp.minimum(near_blk, nb_c)
-            gated = g_c if gated is None else jnp.maximum(gated, g_c)
-        gated_ref[s:s + 1, :] = gated
-        near_ref[s:s + 1, :] = near_blk
+    n_tiles = boxest_ref.shape[1]
+    n_chunks = n_tiles // GATE_LANES  # caller pads to whole chunks
+
+    # A REAL loop over lane chunks (not a python unroll): Mosaic allocates
+    # unrolled iterations their own scoped-vmem stack slots, so an unrolled
+    # version blows the 16 MB limit around 1k tiles; the fori body's
+    # [128, GATE_LANES] temps are reused across iterations.
+    def chunk(i, _):
+        box = boxest_ref[:, pl.ds(i * GATE_LANES, GATE_LANES)]  # [8, GL]
+        g_rows = []
+        n_rows = []
+        for s in range(GATE_SUB):
+            near_blk = None
+            gated = None
+            for c in range(RB // 128):
+                base = s * RB + c * 128
+                rays = rays_ref[base:base + 128, :]
+                o = [rays[:, a:a + 1] for a in range(3)]   # [128, 1] each
+                inv = [1.0 / rays[:, 3 + a:4 + a] for a in range(3)]
+                near = None
+                far = None
+                for a in range(3):
+                    lo = box[a:a + 1, :]                   # [1, GATE_LANES]
+                    hi = box[3 + a:4 + a, :]
+                    t0 = (lo - o[a]) * inv[a]              # [128, GATE_LANES]
+                    t1 = (hi - o[a]) * inv[a]
+                    tl = jnp.minimum(t0, t1)
+                    th = jnp.maximum(t0, t1)
+                    tl = jnp.where(jnp.isnan(tl), -jnp.inf, tl)
+                    th = jnp.where(jnp.isnan(th), jnp.inf, th)
+                    near = tl if near is None else jnp.maximum(near, tl)
+                    far = th if far is None else jnp.minimum(far, th)
+                enter = jnp.maximum(near, 0.0)
+                hit = far >= enter
+                nb_c = jnp.min(jnp.where(hit, enter, INF), axis=0,
+                               keepdims=True)
+                g_c = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+                near_blk = (nb_c if near_blk is None
+                            else jnp.minimum(near_blk, nb_c))
+                gated = g_c if gated is None else jnp.maximum(gated, g_c)
+            g_rows.append(gated)
+            n_rows.append(near_blk)
+        gated_ref[:, pl.ds(i * GATE_LANES, GATE_LANES)] = jnp.concatenate(
+            g_rows, axis=0
+        )
+        near_ref[:, pl.ds(i * GATE_LANES, GATE_LANES)] = jnp.concatenate(
+            n_rows, axis=0
+        )
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
 def _exact_gate_pallas(rays, boxes, interpret: bool = False):
@@ -312,7 +336,14 @@ def _exact_gate_pallas(rays, boxes, interpret: bool = False):
         pad = pad.at[:, 3].set(1.0)  # unit dir: no NaN slabs
         rays = jnp.concatenate([rays, pad], axis=0)
     n_tiles = boxes.shape[0]
-    boxest = boxes.T  # [8, T] component rows
+    # Pad the tile axis to whole GATE_LANES chunks (empty boxes, lo > hi,
+    # never gate in) so the kernel's lane slices are always full-width.
+    tp = -(-n_tiles // GATE_LANES) * GATE_LANES
+    if tp > n_tiles:
+        pad = jnp.zeros((tp - n_tiles, 8), jnp.float32)
+        pad = pad.at[:, 0:3].set(INF).at[:, 3:6].set(-INF)
+        boxes = jnp.concatenate([boxes, pad], axis=0)
+    boxest = boxes.T  # [8, Tp] component rows
     gated, near_blk = pl.pallas_call(
         _exact_gate_kernel,
         grid=(nbp // GATE_SUB,),
@@ -322,18 +353,18 @@ def _exact_gate_pallas(rays, boxes, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # all boxes resident
         ],
         out_specs=(
-            pl.BlockSpec((GATE_SUB, n_tiles), lambda i: (i, 0),
+            pl.BlockSpec((GATE_SUB, tp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GATE_SUB, n_tiles), lambda i: (i, 0),
+            pl.BlockSpec((GATE_SUB, tp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nbp, n_tiles), jnp.int32),
-            jax.ShapeDtypeStruct((nbp, n_tiles), jnp.float32),
+            jax.ShapeDtypeStruct((nbp, tp), jnp.int32),
+            jax.ShapeDtypeStruct((nbp, tp), jnp.float32),
         ),
         interpret=interpret,
     )(rays, boxest)
-    return gated[:nb] > 0, near_blk[:nb]
+    return gated[:nb, :n_tiles] > 0, near_blk[:nb, :n_tiles]
 
 
 def _plan_tiles(rays, boxes, interpret: bool = False):
