@@ -39,9 +39,14 @@ JACK = (
     "/root/reference/path-tracer-core/scenes/jack-of-blades/jack-of-blades.gltf"
 )
 
-# FLOPs per Moller-Trumbore ray-triangle test (ptx.geometry.moller_trumbore):
-# 2 crosses (9 ea) + 3 dots (5 ea) + 1 div + 3 sub + 3 scale + ~8 cmp/select.
+# FLOPs per Moller-Trumbore ray-triangle test (ptx.geometry.moller_trumbore,
+# the brute oracle): 2 crosses (9 ea) + 3 dots (5 ea) + 1 div + 3 sub +
+# 3 scale + ~8 cmp/select.
 MT_FLOPS = 53
+# FLOPs per Baldwin-Weber test (the production Pallas kernel,
+# intersect_pallas._test_matrix): 2 plane dots (5/6) + recip+newton (4) +
+# t (2) + P (6) + 2 barycentric rows (7 ea) + ~7 cmp/select.
+BW_FLOPS = 44
 
 # Public per-chip peaks for MFU accounting (the scaling-book numbers).
 # The intersection sweep is elementwise VPU work, NOT MXU matmuls (the
@@ -202,7 +207,7 @@ def run_backward_bench(
     out = grad_fn(params, fs)
     jax.block_until_ready(out)
     _sync(out)
-    dt = _timed_passes(lambda: grad_fn(params, fs), reps=2)
+    dt = _timed_burst(lambda: grad_fn(params, fs), reps=2, k=6)
     paths = n_pixels * cfg.samples
     value = paths / dt
     return {
@@ -334,7 +339,7 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
     kernel (identical loop, one extra i32 output) reports tiles actually
     ground per ray block after front-to-back early exit, so
 
-    * FLOPs  = visited_tiles x RB x TT x MT_FLOPS  (the [RB,TT] MT matrix)
+    * FLOPs  = visited_tiles x RB x TT x BW_FLOPS  (the [RB,TT] BW matrix)
     * DMA B  = visited_tiles x 32 KiB              (one 16xTT f32 tile each)
 
     Achieved FLOP/s is compared against the VPU estimate (the MT test is a
@@ -379,7 +384,7 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
     dt = _timed_burst(lambda: sweep(fs, orig, dirn), reps=3)
 
     tests = visited_tiles * ip.RB * ip.TT
-    flops = tests * MT_FLOPS
+    flops = tests * BW_FLOPS
     tile_bytes = 16 * ip.TT * 4  # one [16, TT] f32 tile per visit
     bytes_dma = visited_tiles * tile_bytes + n_rays * (32 + 8)
     peak_flops, peak_vpu, peak_bw = _device_peaks()
@@ -464,6 +469,15 @@ def extra_benches(tiny: bool = False):
         "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
             "synthetic:1000000", "soup1m_256x256x4spp_b4_forward",
             RenderConfig(**full), reps=2,
+        ),
+        # The reference's monolithic-renderer resolution (renderer.hpp:21):
+        # 2.07M rays/sample auto-chunk into 72 launches of 28800 rays
+        # (resolve_rays_per_batch), the measured large-frame optimum.
+        "cornell_1080p_4spp_b4_forward": lambda: run_scene_bench(
+            CORNELL, "cornell_1080p_4spp_b4_forward",
+            RenderConfig(width=1920, height=1080, samples=4, bounces=4,
+                         intersector="pallas"),
+            reps=2,
         ),
         "intersect_roofline": run_intersect_roofline,
     }

@@ -19,10 +19,13 @@ The reference's innermost hot loop is the per-leaf triangle sweep
    (this tile's min entry >= the block's worst best-hit) reproduces the
    reference's front-to-back ``dist <= max_dist`` pruning
    (``mesh.cpp:336-369``).
-4. Inside a visited tile, a fused [RB x TT] Moller-Trumbore matrix lives
-   entirely in VMEM/registers; the running (min distance, argmin triangle)
-   is carried in the output block across tiles — the cross-tile analog of
-   the reference's per-UUID min map (``intersection_worker.cpp:78-110``).
+4. Inside a visited tile, a fused [RB x TT] Baldwin-Weber test matrix
+   (precomputed per-triangle plane + barycentric rows — measured 1.29x over
+   Moller-Trumbore on the instruction-issue-bound kernel, tools/bw_mt.py)
+   lives entirely in VMEM/registers; the running (min distance, argmin
+   triangle) is carried in the output block across tiles — the cross-tile
+   analog of the reference's per-UUID min map
+   (``intersection_worker.cpp:78-110``).
 
 Rays ride the *sublane* axis (RB rows), triangles the *lane* axis (TT
 columns); per-component broadcasts are [RB,1] x [1,TT] fused multiply-adds
@@ -54,45 +57,44 @@ INF = 3.0e38  # python float: jnp constants can't be captured inside kernels
 EPS = float(pmath.EPS)
 
 
-def _mt_matrix(rays, tris):
-    """[RB, TT] Moller-Trumbore distances (INF where no hit).
+def _test_matrix(rays, tris):
+    """[RB, TT] ray-triangle hit distances (INF where no hit) via the
+    Baldwin-Weber precomputed-transform test.
 
-    ``rays``: [RB, 8] (ox oy oz dx dy dz _ _); ``tris``: [16, TT] (rows:
-    ax ay az e1x e1y e1z e2x e2y e2z ...).
+    ``rays``: [RB, 8] (ox oy oz dx dy dz _ _); ``tris``: [16, TT] packed by
+    :func:`_bw_rows` (rows 0-2 unit plane normal, 3 plane d, 4-7/8-11 the
+    barycentric rows T1/T2 of inv([e1 e2 n]) with translation).
+
+    Measured 1.29x over the Moller-Trumbore formulation on the 262k-tri
+    sweep (tools/bw_mt.py): the kernel is instruction-issue-bound and BW is
+    ~29 vector instructions per element vs MT's ~45, for 12 floats/tri
+    instead of 9 (both fit the 16-row tile DMA unit).  The kernel only
+    SELECTS the winner (t is truncated to 14 mantissa bits by the packed-min
+    key regardless); exact t/barycentrics come from the epilogue's
+    Moller-Trumbore recompute, so BW's slightly different edge rounding can
+    flip near-ties only — same class of flips the packed key already makes.
+
+    The exact VPU divide costs ~5% of the whole sweep (measured); one Newton
+    step on the hardware reciprocal estimate restores f32 accuracy.  No
+    isfinite() term: a degenerate (zeroed) column makes n.dir = 0, t/beta
+    NaN, and every NaN comparison is False, so ``ok`` already rejects it.
     """
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    ax, ay, az = tris[0:1, :], tris[1:2, :], tris[2:3, :]
-    e1x, e1y, e1z = tris[3:4, :], tris[4:5, :], tris[5:6, :]
-    e2x, e2y, e2z = tris[6:7, :], tris[7:8, :], tris[8:9, :]
+    nx, ny, nz, d = tris[0:1], tris[1:2], tris[2:3], tris[3:4]
+    t1x, t1y, t1z, t1w = tris[4:5], tris[5:6], tris[6:7], tris[7:8]
+    t2x, t2y, t2z, t2w = tris[8:9], tris[9:10], tris[10:11], tris[11:12]
 
-    # pvec = dir x e2
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    # The exact VPU divide costs ~5% of the whole sweep (measured); one
-    # Newton step on the hardware reciprocal estimate restores f32 accuracy
-    # (bit-agreeing winners on the 262k-tri sweep) at ~half the divide cost.
-    # Kernel t is truncated to 14 mantissa bits by the packed-min key anyway
-    # and the winner is recomputed exactly outside the kernel.
-    r0 = pl.reciprocal(det, approx=True)
-    inv_det = r0 * (2.0 - det * r0)
-    # tvec = orig - a
-    tx = ox - ax
-    ty = oy - ay
-    tz = oz - az
-    beta = (tx * px + ty * py + tz * pz) * inv_det
-    # qvec = tvec x e1
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    gamma = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-    # No isfinite() term: a zero/degenerate det makes beta or gamma NaN or
-    # +/-inf, and every NaN comparison is False, so ``ok`` already rejects
-    # those columns (padding columns are all-zero => det = 0).
+    nd = nx * dx + ny * dy + nz * dz
+    no = nx * ox + ny * oy + nz * oz + d
+    r0 = pl.reciprocal(nd, approx=True)
+    inv = r0 * (2.0 - nd * r0)
+    t = -(no * inv)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    beta = t1x * px + t1y * py + t1z * pz + t1w
+    gamma = t2x * px + t2y * py + t2z * pz + t2w
     ok = (
         (jnp.minimum(beta, gamma) >= -EPS)
         & (beta <= 1.0 + EPS)
@@ -102,27 +104,77 @@ def _mt_matrix(rays, tris):
     return jnp.where(ok, t, INF)
 
 
+def _bw_rows(a, e1, e2, xp):
+    """[12, N] Baldwin-Weber component rows for :func:`_test_matrix`.
+
+    Rows 0-2: UNIT plane normal (normalized: an unnormalized sliver normal
+    amplifies cancellation in n.o + d enough to flip winners by far more
+    than the packed-min truncation — measured 0.23 vs 0.05 max relative
+    winner-t divergence on the 262k random soup, tools/bw_mt.py), row 3:
+    plane d, rows 4-7 / 8-11: barycentric rows T1/T2 of inv([e1 e2 n]) with
+    translation.  Degenerate triangles zero out entirely: n.dir = 0 makes t
+    NaN and the kernel mask rejects NaN columns.
+
+    ``xp`` is numpy (attach_tiles, host-side) or jax.numpy (pack_tris,
+    traced for scene-sharded in-call packs).
+    """
+    f32 = xp.float32
+    n = xp.cross(e1, e2)
+    nl = xp.sqrt(xp.sum(n * n, axis=1, keepdims=True))
+    nn = n / xp.maximum(nl, f32(1e-30))
+    d = -xp.einsum("ij,ij->i", nn, a)
+    m = xp.stack([e1, e2, nn], axis=-1)  # columns e1 e2 n
+    ok = xp.abs(xp.linalg.det(m)) > f32(1e-30)
+    m_safe = xp.where(
+        ok[:, None, None], m, xp.eye(3, dtype=m.dtype)[None]
+    )
+    inv = xp.linalg.inv(m_safe)
+    t1 = inv[:, 0, :]
+    t2 = inv[:, 1, :]
+    t1w = -xp.einsum("ij,ij->i", t1, a)
+    t2w = -xp.einsum("ij,ij->i", t2, a)
+    zero = xp.zeros_like(d)
+    rows = xp.stack([
+        *(xp.where(ok, nn[:, i], zero) for i in range(3)),
+        xp.where(ok, d, zero),
+        *(xp.where(ok, t1[:, i], zero) for i in range(3)),
+        xp.where(ok, t1w, zero),
+        *(xp.where(ok, t2[:, i], zero) for i in range(3)),
+        xp.where(ok, t2w, zero),
+    ])
+    return rows.astype(xp.float32)
+
+
 def pack_tris(fs: FlatScene):
     """[n_tiles, 16, TT] tile-major triangle component stack (each tile one
-    contiguous 32 KB DMA unit; rows 0-8 = a, e1, e2 components, 16 rows for
-    sublane alignment) + [n_tiles, 8] tile AABBs.  Zero columns are
-    degenerate (det = 0 -> INF) and never hit; padding-tile boxes are empty
-    (min > max) and never pass the gate.
+    contiguous 32 KB DMA unit; rows 0-11 = Baldwin-Weber components
+    (:func:`_bw_rows`), 16 rows for sublane alignment) + [n_tiles, 8] tile
+    AABBs.  Zero columns are degenerate (n.dir = 0 -> NaN -> rejected) and
+    never hit; padding-tile boxes are empty (min > max) and never pass the
+    gate.
 
     Expecting BVH-ordered triangles (ptx.accel.build_bvh) for tight tile
     boxes; unordered input stays correct, just culls less.
     """
     n = fs.tri_a.shape[0]
     n_pad = -(-n // TT) * TT
+    pad = n_pad - n
+    a_p = jnp.concatenate(
+        [fs.tri_a, jnp.zeros((pad, 3), jnp.float32)]
+    ) if pad else fs.tri_a
+    e1_p = jnp.concatenate(
+        [fs.tri_e1, jnp.zeros((pad, 3), jnp.float32)]
+    ) if pad else fs.tri_e1
+    e2_p = jnp.concatenate(
+        [fs.tri_e2, jnp.zeros((pad, 3), jnp.float32)]
+    ) if pad else fs.tri_e2
     tris = jnp.zeros((16, n_pad), jnp.float32)
-    tris = tris.at[0:3, :n].set(fs.tri_a.T)
-    tris = tris.at[3:6, :n].set(fs.tri_e1.T)
-    tris = tris.at[6:9, :n].set(fs.tri_e2.T)
+    tris = tris.at[0:12].set(_bw_rows(a_p, e1_p, e2_p, jnp))
 
     n_tiles = n_pad // TT
-    a = tris[0:3].T.reshape(n_tiles, TT, 3)
-    b = a + tris[3:6].T.reshape(n_tiles, TT, 3)
-    c = a + tris[6:9].T.reshape(n_tiles, TT, 3)
+    a = a_p.reshape(n_tiles, TT, 3)
+    b = (a_p + e1_p).reshape(n_tiles, TT, 3)
+    c = (a_p + e2_p).reshape(n_tiles, TT, 3)
     valid = (
         jnp.arange(n_pad).reshape(n_tiles, TT, 1) < fs.tri_valid.shape[0]
     ) & fs.tri_valid[
@@ -143,9 +195,10 @@ def attach_tiles(fs: FlatScene) -> FlatScene:
     ``fs.pboxes``) so per-call sweeps skip the 16-row repack — called once
     from ``ptx.render.ensure_accel`` after the BVH ordering is final.
 
-    Pure numpy: the pack is transposes + min/max, and doing it eagerly with
-    jnp would dispatch ~20 individually-compiled ops through the device
-    (minutes of one-time compile on a tunneled TPU vs milliseconds here)."""
+    Pure numpy: the pack is transposes + min/max + batched 3x3 inverses, and
+    doing it eagerly with jnp would dispatch ~20 individually-compiled ops
+    through the device (minutes of one-time compile on a tunneled TPU vs
+    milliseconds here)."""
     import numpy as np
 
     tri_a = np.asarray(fs.tri_a, np.float32)
@@ -155,14 +208,17 @@ def attach_tiles(fs: FlatScene) -> FlatScene:
     n = tri_a.shape[0]
     n_pad = -(-n // TT) * TT
     n_tiles = n_pad // TT
+    pad = n_pad - n
+    if pad:
+        tri_a = np.concatenate([tri_a, np.zeros((pad, 3), np.float32)])
+        tri_e1 = np.concatenate([tri_e1, np.zeros((pad, 3), np.float32)])
+        tri_e2 = np.concatenate([tri_e2, np.zeros((pad, 3), np.float32)])
     tris = np.zeros((16, n_pad), np.float32)
-    tris[0:3, :n] = tri_a.T
-    tris[3:6, :n] = tri_e1.T
-    tris[6:9, :n] = tri_e2.T
+    tris[0:12] = _bw_rows(tri_a, tri_e1, tri_e2, np)
 
-    a = tris[0:3].T.reshape(n_tiles, TT, 3)
-    b = a + tris[3:6].T.reshape(n_tiles, TT, 3)
-    c = a + tris[6:9].T.reshape(n_tiles, TT, 3)
+    a = tri_a.reshape(n_tiles, TT, 3)
+    b = (tri_a + tri_e1).reshape(n_tiles, TT, 3)
+    c = (tri_a + tri_e2).reshape(n_tiles, TT, 3)
     valid = np.zeros((n_pad,), bool)
     valid[: tri_valid.shape[0]] = tri_valid
     valid = valid.reshape(n_tiles, TT, 1)
@@ -484,7 +540,7 @@ def _closest_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
                     dma(pre).start()
 
                 dma(idx).wait()
-                t = _mt_matrix(rays_ref[:], buf[jax.lax.rem(idx, NBUF)])
+                t = _test_matrix(rays_ref[:], buf[jax.lax.rem(idx, NBUF)])
                 lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
                 key = (bc(t, jnp.int32) & ~LANE_BITS) | lane
                 kmin = jnp.min(key, axis=1, keepdims=True)  # [RB, 1]
@@ -569,7 +625,7 @@ def _any_kernel(order_ref, count_ref, near_ref, rays_ref, tris_ref,
                     dma(pre).start()
 
                 dma(idx).wait()
-                t = _mt_matrix(rays_ref[:], buf[jax.lax.rem(idx, NBUF)])
+                t = _test_matrix(rays_ref[:], buf[jax.lax.rem(idx, NBUF)])
                 any_hit = jnp.any(t < INF, axis=1, keepdims=True)
                 hit_ref[:] = hit_ref[:] | any_hit.astype(jnp.int32)
             nk = k + GROUP
@@ -603,7 +659,7 @@ def _closest_small_kernel(rays_ref, tris_ref, t_ref, idx_ref):
     best_key = jnp.full((RB, 1), INIT_KEY, jnp.int32)
     best_tile = jnp.zeros((RB, 1), jnp.int32)
     for tile in range(tris_ref.shape[0]):  # static unroll
-        t = _mt_matrix(rays_ref[:], tris_ref[tile])
+        t = _test_matrix(rays_ref[:], tris_ref[tile])
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         key = (bc(t, jnp.int32) & ~LANE_BITS) | lane
         kmin = jnp.min(key, axis=1, keepdims=True)
@@ -617,7 +673,7 @@ def _closest_small_kernel(rays_ref, tris_ref, t_ref, idx_ref):
 def _any_small_kernel(rays_ref, tris_ref, hit_ref):
     hit = jnp.zeros_like(hit_ref)
     for tile in range(tris_ref.shape[0]):
-        t = _mt_matrix(rays_ref[:], tris_ref[tile])
+        t = _test_matrix(rays_ref[:], tris_ref[tile])
         hit = hit | jnp.any(t < INF, axis=1, keepdims=True).astype(jnp.int32)
     hit_ref[:] = hit
 
