@@ -98,3 +98,25 @@ def test_standin_renders_finite_and_deterministic(sponza):
     assert np.isfinite(a.color).all()
     assert a.color.std() > 0  # not a flat image
     np.testing.assert_array_equal(a.color, b.color)
+
+
+def test_sponza_tp2_sharded_pack_matches_replicated(sponza):
+    """The full sponza-scale case the planner exists for: 262k tris + the
+    real 68M-texel pack (1.09 GB — the thing that actually busts a 4 GB
+    chip's scene budget, see test_planner_on_real_sponza_texel_count)
+    sharded along tp=2, bit-matching the replicated-pack render."""
+    from ptx.parallel import dist, mesh as pmesh
+
+    _, fs, static = sponza
+    cfg = RenderConfig(width=8, height=8, samples=1, bounces=2,
+                       intersector="bvh")
+    plan_rep = pmesh.Plan(dp=4, tp=2, scene_sharded=True,
+                          shard_textures=False)
+    plan_shd = pmesh.Plan(dp=4, tp=2, scene_sharded=True, shard_textures=True)
+    mesh_dev = pmesh.make_mesh(plan_rep)
+    rep = dist.render_distributed(fs, static, cfg, plan=plan_rep,
+                                  mesh=mesh_dev)
+    shd = dist.render_distributed(fs, static, cfg, plan=plan_shd,
+                                  mesh=mesh_dev)
+    np.testing.assert_array_equal(rep.color, shd.color)
+    assert np.isfinite(rep.color).all()
