@@ -121,16 +121,16 @@ def _bw_rows(a, e1, e2, xp):
     f32 = xp.float32
     n = xp.cross(e1, e2)
     nl = xp.sqrt(xp.sum(n * n, axis=1, keepdims=True))
-    nn = n / xp.maximum(nl, f32(1e-30))
+    ok = nl[:, 0] > f32(1e-30)
+    safe = xp.maximum(nl, f32(1e-30))
+    nn = n / safe
     d = -xp.einsum("ij,ij->i", nn, a)
-    m = xp.stack([e1, e2, nn], axis=-1)  # columns e1 e2 n
-    ok = xp.abs(xp.linalg.det(m)) > f32(1e-30)
-    m_safe = xp.where(
-        ok[:, None, None], m, xp.eye(3, dtype=m.dtype)[None]
-    )
-    inv = xp.linalg.inv(m_safe)
-    t1 = inv[:, 0, :]
-    t2 = inv[:, 1, :]
+    # Closed-form rows of inv([e1 e2 nn]): row_i = cross of the other two
+    # columns over det, and det = e1.(e2 x nn) = (e1 x e2).nn = |e1 x e2|.
+    # (A generic batched linalg.inv cost 63 ms per traced in-call pack on
+    # TPU — the scene-sharded sweeps pack per call.)
+    t1 = xp.cross(e2, nn) / safe
+    t2 = xp.cross(nn, e1) / safe
     t1w = -xp.einsum("ij,ij->i", t1, a)
     t2w = -xp.einsum("ij,ij->i", t2, a)
     zero = xp.zeros_like(d)
