@@ -454,9 +454,17 @@ def extra_benches(tiny: bool = False):
     return {
         "pallas_intersect_roofline": run_pallas_roofline,
         "backward": run_backward_bench,
+        # Jack, not cornell: a closed flat-diffuse box is almost-everywhere
+        # FLAT in vertex translations (tests/test_diff.py), so its vertex
+        # gradient is structurally zero; jack's sun NEE + textures make the
+        # geometry gradient real while still timing the same general
+        # differentiable scan through the Moller-Trumbore vjp.
         "vertex_backward": lambda: run_backward_bench(
+            scene=JACK,
+            cfg=RenderConfig(width=128, height=128, samples=4, bounces=4,
+                             intersector="pallas"),
             param_fields=("tri_a",),
-            metric="cornell_128x128x4spp_b4_vertex_backward",
+            metric="jack_128x128x4spp_b4_vertex_backward",
         ),
         "jack_256x256x4spp_b4_forward": lambda: run_scene_bench(
             JACK, "jack_256x256x4spp_b4_forward", RenderConfig(**full),
