@@ -10,11 +10,12 @@ standalone with ``tools/ref_baseline/build.sh`` and run on the same scene /
 resolution / spp / bounces as the headline metric.
 
 The JSON line also carries an ``extra`` dict (recorded verbatim into
-``BENCH_r{N}.json``): jack-of-blades (textured + sun NEE), a 1M-triangle
-synthetic soup (traversal stress), backward grad-paths/s, and a roofline
-account of the intersection sweep (achieved FLOP/s and HBM GB/s vs chip
-peaks — BASELINE.md's "speed-of-light" requirement). Set ``PTX_BENCH_FULL=0``
-to emit the headline metric only.
+``BENCH_r{N}.json``): the production-kernel roofline (exact executed work vs
+chip peaks — BASELINE.md's "speed-of-light" requirement), material and
+geometry backward grad-paths/s, jack-of-blades (textured + sun NEE), the
+sponza-new stand-in (24 materials, 68M-texel pack), a 1M-triangle synthetic
+soup (traversal stress), 1080p cornell (auto-chunked launches), and a brute
+roofline.  Set ``PTX_BENCH_FULL=0`` to emit the headline metric only.
 
 Run: ``python bench.py`` at the repo root (one JSON line on stdout).
 """
