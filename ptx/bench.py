@@ -460,12 +460,15 @@ def extra_benches(tiny: bool = False):
         # gradient is structurally zero; jack's sun NEE + textures make the
         # geometry gradient real while still timing the same general
         # differentiable scan through the Moller-Trumbore vjp.
+        # 64x64: the general path saves per-bounce residuals for the whole
+        # wavefront; at 128x128x4spp on jack the backward graph exceeds the
+        # 16 GB chip (measured 18.3 GB allocation).
         "vertex_backward": lambda: run_backward_bench(
             scene=JACK,
-            cfg=RenderConfig(width=128, height=128, samples=4, bounces=4,
+            cfg=RenderConfig(width=64, height=64, samples=4, bounces=4,
                              intersector="pallas"),
             param_fields=("tri_a",),
-            metric="jack_128x128x4spp_b4_vertex_backward",
+            metric="jack_64x64x4spp_b4_vertex_backward",
         ),
         "jack_256x256x4spp_b4_forward": lambda: run_scene_bench(
             JACK, "jack_256x256x4spp_b4_forward", RenderConfig(**full),
