@@ -228,3 +228,24 @@ def test_chunked_compaction_under_scene_sharding(tp, comm):
     np.testing.assert_allclose(
         np.asarray(single.color), np.asarray(multi.color), atol=1e-5
     )
+
+
+def test_distributed_auto_chunk_matches_whole_frame(monkeypatch):
+    """Frames past the per-chip launch cap auto-chunk in distributed mode
+    too (each chunk one shard_map launch); absolute-id RNG makes chunked
+    renders bit-match whole-frame ones."""
+    import ptx.render as render_mod
+
+    fs, static = R.load_scene(CORNELL)
+    cfg = _cfg(width=32, height=32, samples=2, bounces=2,
+               intersector="brute")
+    plan = pmesh.Plan(dp=2, tp=1, scene_sharded=False)
+    meshdev = pmesh.make_mesh(plan)
+    whole = dist.render_distributed(fs, static, cfg, plan=plan, mesh=meshdev)
+
+    # 1024 pixels / dp=2 -> 512 rays/chip; cap 128 forces 4 chunks of 256.
+    monkeypatch.setattr(render_mod, "MAX_RAYS_PER_LAUNCH", 128)
+    chunked = dist.render_distributed(fs, static, cfg, plan=plan,
+                                      mesh=meshdev)
+    np.testing.assert_array_equal(chunked.color, whole.color)
+    np.testing.assert_array_equal(chunked.alpha, whole.alpha)
