@@ -43,11 +43,17 @@ DIFFERENTIABLE_FIELDS = (
 )
 
 
-# tri_attrs mirrors the triangle vertex data in columns 25-33 (the packed
-# single-gather hit epilogue, ptx.scene.flatten).  Geometry params must be
-# written into BOTH places, functionally, so (a) renders see the update and
-# (b) gradients flow through the packed-row gathers too.
+# tri_attrs mirrors the triangle vertex data in columns 25-33 and mat_packed
+# mirrors the scalar material factors (the packed single-gather hit epilogue
+# and material fetch, ptx.scene.flatten).  Params must be written into BOTH
+# places, functionally, so (a) renders see the update and (b) gradients flow
+# through the packed-row gathers too.
 _GEOM_ATTR_COLS = {"tri_a": (25, 28), "tri_e1": (28, 31), "tri_e2": (31, 34)}
+_MAT_PACKED_COLS = {
+    "mat_albedo": (0, 3), "mat_opacity": (3, 4), "mat_roughness": (4, 5),
+    "mat_metallic": (5, 6), "mat_emissive": (6, 9), "mat_ior": (9, 10),
+    "mat_shadow_catcher": (10, 11),
+}
 
 
 def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
@@ -60,6 +66,14 @@ def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
             lo, hi = _GEOM_ATTR_COLS[k]
             at = at.at[:, lo:hi].set(params[k])
         fs = fs._replace(tri_attrs=at)
+    mats = [k for k in params if k in _MAT_PACKED_COLS]
+    if mats and fs.mat_packed.shape[0] == fs.mat_albedo.shape[0]:
+        row = fs.mat_packed
+        for k in mats:
+            lo, hi = _MAT_PACKED_COLS[k]
+            v = params[k]
+            row = row.at[:, lo:hi].set(v if v.ndim == 2 else v[:, None])
+        fs = fs._replace(mat_packed=row)
     return fs
 
 

@@ -413,8 +413,13 @@ def flatten(
 def apply_emissive_strength(fs: FlatScene, scene: SceneData) -> FlatScene:
     """Fold KHR emissive_strength into the emissive factors (physical mode —
     the reference ignores the extension and uses its x10 debug multiplier
-    instead, ``shading_worker.cpp:50``)."""
+    instead, ``shading_worker.cpp:50``).  Updates BOTH mat_emissive and its
+    mirror in the packed factor row (material_lookup reads the row)."""
     strengths = np.asarray(
         [m.emissive_strength for m in scene.materials], np.float32
     )[:, None]
-    return fs._replace(mat_emissive=fs.mat_emissive * strengths)
+    packed = np.array(fs.mat_packed)
+    packed[:, 6:9] = packed[:, 6:9] * strengths
+    return fs._replace(
+        mat_emissive=fs.mat_emissive * strengths, mat_packed=packed
+    )

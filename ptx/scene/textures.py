@@ -139,14 +139,21 @@ def material_lookup(fs: FlatScene, mat_id, uv, static=None):
 
     tex = fs.mat_tex[mat_id] if any(used) else None  # [R, 7]
 
+    # ONE factor gather: all scalar material factors ride the packed
+    # [M, 16] row (TPU row gathers cost per gather *op*, not per byte —
+    # eight separate factor gathers measured 0.31 ms vs 0.20 ms for the row
+    # at 32k rays, ~2% of a whole bounce).  Parameter gradients flow through
+    # fs.mat_packed, which inject_params mirrors the mat_* leaves into.
+    row = fs.mat_packed[mat_id]  # [R, 16]
+
     alb_rgba = None
     if used[SLOT_ALBEDO] or (used[SLOT_OPACITY] and share_op):
         alb_rgba = sample_texture(fs, tex[..., SLOT_ALBEDO], uv, static)
-    albedo = fs.mat_albedo[mat_id]
+    albedo = row[..., 0:3]
     if alb_rgba is not None and used[SLOT_ALBEDO]:
         albedo = albedo * alb_rgba[..., :3]
 
-    opacity = fs.mat_opacity[mat_id]
+    opacity = row[..., 3]
     if used[SLOT_OPACITY]:
         if share_op:
             # Opacity slot is either the albedo texture or the white dummy
@@ -165,15 +172,15 @@ def material_lookup(fs: FlatScene, mat_id, uv, static=None):
     mr = None
     if used[SLOT_ROUGHNESS] or (used[SLOT_METALLIC] and share_mr):
         mr = sample_texture(fs, tex[..., SLOT_ROUGHNESS], uv, static)
-    roughness = fs.mat_roughness[mat_id]
+    roughness = row[..., 4]
     if mr is not None and used[SLOT_ROUGHNESS]:
         roughness = roughness * mr[..., 1]
-    metallic = fs.mat_metallic[mat_id]
+    metallic = row[..., 5]
     if used[SLOT_METALLIC]:
         mb = mr if share_mr else sample_texture(fs, tex[..., SLOT_METALLIC], uv, static)
         metallic = metallic * mb[..., 2]
 
-    emissive = fs.mat_emissive[mat_id]
+    emissive = row[..., 6:9]
     if used[SLOT_EMISSIVE]:
         emissive = emissive * sample_texture(fs, tex[..., SLOT_EMISSIVE], uv, static)[..., :3]
 
@@ -192,6 +199,6 @@ def material_lookup(fs: FlatScene, mat_id, uv, static=None):
         metallic=metallic,
         emissive=emissive,
         tangent_normal=tangent_normal,
-        ior=fs.mat_ior[mat_id],
-        shadow_catcher=fs.mat_shadow_catcher[mat_id],
+        ior=row[..., 9],
+        shadow_catcher=row[..., 10],
     )

@@ -72,8 +72,10 @@ def test_fast_gradients_match_general(field):
     fast, slow, pix, smp = _integrators(fs, static, cfg)
     target = jnp.zeros((cfg.width * cfg.height, 3))
 
+    from ptx.diff.inverse import inject_params
+
     def loss(integ, params):
-        radiance, _ = integ(fs._replace(**params), pix, smp)
+        radiance, _ = integ(inject_params(fs, params), pix, smp)
         return jnp.mean((radiance - target) ** 2)
 
     params = {field: getattr(fs, field)}
