@@ -86,3 +86,64 @@ def test_distinct_meshes_sharing_a_name_fail_loud(tmp_path):
         json.dump(doc, f)
     with pytest.raises(ValueError, match="share the name"):
         partition.split_scene(path, num_workers=2)
+
+
+def test_random_nested_graphs_shard_exhaustively(tmp_path):
+    """Fuzz: random node trees (meshes at arbitrary depth, multi-primitive
+    meshes, childless groups, camera mixed in) must always produce
+    exhaustive, disjoint shards matching the loader's own walk."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    with open(CORNELL) as f:
+        base = json.load(f)
+    shutil.copy(
+        os.path.join(os.path.dirname(CORNELL), base["buffers"][0]["uri"]),
+        tmp_path,
+    )
+
+    for trial in range(6):
+        doc = json.loads(json.dumps(base))
+        nodes = doc["nodes"]
+        scene = doc["scenes"][doc.get("scene", 0)]
+        mesh_nodes = [i for i in scene["nodes"] if "mesh" in nodes[i]]
+        other = [i for i in scene["nodes"] if "mesh" not in nodes[i]]
+        # Random forest: each mesh node hangs off the root list or a random
+        # earlier group node, up to a few levels deep.
+        groups = []
+        roots = list(other)
+        for i in mesh_nodes:
+            if groups and rng.random() < 0.6:
+                parent = int(rng.choice(groups))
+                nodes[parent].setdefault("children", []).append(i)
+            elif rng.random() < 0.5:
+                g = len(nodes)
+                nodes.append({"name": f"g{trial}_{g}"})
+                groups.append(g)
+                roots.append(g)
+                nodes[g].setdefault("children", []).append(i)
+            else:
+                roots.append(i)
+        scene["nodes"] = roots
+
+        path = str(tmp_path / f"fuzz{trial}.gltf")
+        with open(path, "w") as f:
+            json.dump(doc, f)
+
+        n_workers = int(rng.integers(1, 5))
+        split = partition.split_scene(path, num_workers=n_workers)
+        assigned = [
+            (name, p)
+            for s in split.split_work.values()
+            for name, prims in s.work.items()
+            for p in prims
+        ]
+        assert len(assigned) == 7, f"trial {trial}: {assigned}"
+        assert len(set(assigned)) == 7
+
+        full = G.load(path)
+        loaded = sum(
+            len(G.load(path, scene_work=s.work).primitives)
+            for s in split.split_work.values()
+        )
+        assert loaded == len(full.primitives) == 7, f"trial {trial}"
