@@ -42,85 +42,6 @@ N_TRIS = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
 N_RAYS = 131072
 
 
-def bw_rows(tri_a, tri_e1, tri_e2):
-    """[12, Np] BW component rows (n, d, T1, T2) for the padded tri set."""
-    n_tri = tri_a.shape[0]
-    n = np.cross(tri_e1, tri_e2)
-    # Normalized plane equation: the winner is selected on kernel t, and an
-    # unnormalized sliver normal amplifies the cancellation error in
-    # n.o + d enough to flip winners by far more than the packed-min
-    # truncation (measured 0.23 max rel t err on the winner).
-    nl = np.linalg.norm(n, axis=1, keepdims=True)
-    n = n / np.maximum(nl, 1e-30)
-    d = -np.einsum("ij,ij->i", n, tri_a)
-    m = np.stack([tri_e1, tri_e2, n], axis=-1)  # [N, 3, 3] columns e1 e2 n
-    ok = np.abs(np.linalg.det(m)) > 1e-30
-    m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
-    inv = np.linalg.inv(m_safe)
-    t1 = inv[:, 0, :]
-    t2 = inv[:, 1, :]
-    t1w = -np.einsum("ij,ij->i", t1, tri_a)
-    t2w = -np.einsum("ij,ij->i", t2, tri_a)
-    # Degenerate tris: zero everything -> n.dir = 0 -> NaN t -> rejected.
-    z = ok[:, None]
-    rows = np.zeros((12, n_tri), np.float32)
-    rows[0:3] = np.where(z, n, 0.0).T
-    rows[3] = np.where(ok, d, 0.0)
-    rows[4:7] = np.where(z, t1, 0.0).T
-    rows[7] = np.where(ok, t1w, 0.0)
-    rows[8:11] = np.where(z, t2, 0.0).T
-    rows[11] = np.where(ok, t2w, 0.0)
-    return rows
-
-
-def pack_bw(fs):
-    """BW tiles in the production [n_tiles, 16, TT] layout, same boxes."""
-    tri_a = np.asarray(fs.tri_a, np.float32)
-    tri_e1 = np.asarray(fs.tri_e1, np.float32)
-    tri_e2 = np.asarray(fs.tri_e2, np.float32)
-    n = tri_a.shape[0]
-    n_pad = -(-n // ip.TT) * ip.TT
-    pad = n_pad - n
-    if pad:
-        tri_a = np.concatenate([tri_a, np.zeros((pad, 3), np.float32)])
-        tri_e1 = np.concatenate([tri_e1, np.zeros((pad, 3), np.float32)])
-        tri_e2 = np.concatenate([tri_e2, np.zeros((pad, 3), np.float32)])
-    rows = np.zeros((16, n_pad), np.float32)
-    rows[0:12] = bw_rows(tri_a, tri_e1, tri_e2)
-    n_tiles = n_pad // ip.TT
-    tiles = np.ascontiguousarray(
-        rows.reshape(16, n_tiles, ip.TT).transpose(1, 0, 2)
-    )
-    return tiles
-
-
-def mt_bw(rays, tris):
-    """BW twin of ip._mt_matrix (same [RB,8] x [16,TT] contract)."""
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    nx, ny, nz, d = tris[0:1], tris[1:2], tris[2:3], tris[3:4]
-    t1x, t1y, t1z, t1w = tris[4:5], tris[5:6], tris[6:7], tris[7:8]
-    t2x, t2y, t2z, t2w = tris[8:9], tris[9:10], tris[10:11], tris[11:12]
-
-    nd = nx * dx + ny * dy + nz * dz
-    no = nx * ox + ny * oy + nz * oz + d
-    r0 = pl.reciprocal(nd, approx=True)
-    inv = r0 * (2.0 - nd * r0)
-    t = -(no * inv)
-    px = ox + t * dx
-    py = oy + t * dy
-    pz = oz + t * dz
-    beta = t1x * px + t1y * py + t1z * pz + t1w
-    gamma = t2x * px + t2y * py + t2z * pz + t2w
-    ok = (
-        (jnp.minimum(beta, gamma) >= -ip.EPS)
-        & (beta <= 1.0 + ip.EPS)
-        & (beta + gamma <= 1.0 + ip.EPS)
-        & (t >= 0.0)
-    )
-    return jnp.where(ok, t, ip.INF)
-
-
 def mt_classic(rays, tris):
     """The pre-round-4 Moller-Trumbore kernel test (rows 0-8 = a, e1, e2),
     kept as the comparison baseline."""
