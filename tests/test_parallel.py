@@ -249,3 +249,43 @@ def test_distributed_auto_chunk_matches_whole_frame(monkeypatch):
                                       mesh=meshdev)
     np.testing.assert_array_equal(chunked.color, whole.color)
     np.testing.assert_array_equal(chunked.alpha, whole.alpha)
+
+
+def test_distributed_checkpoint_resume_and_preview(tmp_path):
+    """Checkpoint/resume + the periodic preview PNG through
+    render_distributed: a resumed distributed render must equal an
+    uninterrupted one, and the preview must exist and match finalize() of
+    the checkpointed state (single-chip tests cover the same contract;
+    this pins the replicated-write path)."""
+    import os
+
+    from ptx.integrator import accumulate
+    from ptx.io import checkpoint as ck
+    from ptx.io.png import read_png
+
+    fs, static = R.load_scene(CORNELL)
+    plan = pmesh.Plan(dp=4, tp=1, scene_sharded=False)
+    meshdev = pmesh.make_mesh(plan)
+
+    def cfg(samples):
+        return _cfg(width=16, height=16, samples=samples, bounces=2,
+                    intersector="brute")
+
+    full = dist.render_distributed(fs, static, cfg(4), plan=plan,
+                                   mesh=meshdev)
+
+    path = str(tmp_path / "dist.ckpt.npz")
+    dist.render_distributed(fs, static, cfg(2), plan=plan, mesh=meshdev,
+                            checkpoint_path=path, checkpoint_every=1)
+    loaded = ck.load(path)
+    assert loaded is not None and loaded.samples_done == 2
+    img = read_png(path + ".preview.png")
+    expect = np.asarray(
+        accumulate.finalize(loaded.color, loaded.alpha)
+    ).reshape(16, 16, 4)
+    np.testing.assert_array_equal(img, expect)
+
+    resumed = dist.render_distributed(fs, static, cfg(4), plan=plan,
+                                      mesh=meshdev, checkpoint_path=path)
+    np.testing.assert_allclose(resumed.color, full.color,
+                               rtol=1e-6, atol=1e-7)
