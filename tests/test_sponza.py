@@ -120,3 +120,29 @@ def test_sponza_tp2_sharded_pack_matches_replicated(sponza):
                                   mesh=mesh_dev)
     np.testing.assert_array_equal(rep.color, shd.color)
     assert np.isfinite(rep.color).all()
+
+
+def test_partition_cli_on_real_sponza():
+    """`ptx partition` (the reference preprocessor's /preprocess response)
+    against the real sponza glTF: valid JSON, 24 primitives, budget mode
+    driven by the actual texture byte sizes."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ptx.cli", "partition", "--scene",
+         SPONZA_GLTF, "--memory-per-worker-gb", "0.01", "--cpu"],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout)
+    total = sum(
+        len(p)
+        for w in doc["split_work"].values()
+        for p in w["work"].values()
+    )
+    assert total == N_PRIMS
+    assert doc["total_size"] > 0.02
+    assert len(doc["split_work"]) > 1
