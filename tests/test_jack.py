@@ -53,3 +53,24 @@ def test_jack_render_bvh():
     # Deterministic.
     res2 = R.render(fs, static, cfg)
     np.testing.assert_array_equal(res.color, res2.color)
+
+
+def test_jack_render_golden():
+    """Golden-image lock on the richest shading configuration (textures,
+    sun NEE, shadow catcher, normal maps): generated once by a
+    parity-verified build, any future drift fails here.  Delete the .npy to
+    regenerate after an intentional semantic change."""
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "jack_24x18_s2_b3.npy"
+    )
+    cfg = RenderConfig(width=24, height=18, samples=2, bounces=3,
+                       intersector="bvh")
+    fs, static = R.load_scene(JACK, quirks=cfg.quirks)
+    res = R.render(fs, static, cfg)
+    if not os.path.exists(golden_path):
+        np.save(golden_path, res.color)
+        pytest.skip("golden image generated")
+    golden = np.load(golden_path)
+    np.testing.assert_allclose(res.color, golden, rtol=1e-4, atol=1e-5)
