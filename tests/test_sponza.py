@@ -146,3 +146,22 @@ def test_partition_cli_on_real_sponza():
     assert total == N_PRIMS
     assert doc["total_size"] > 0.02
     assert len(doc["split_work"]) > 1
+
+
+def test_sponza_render_golden(sponza):
+    """Golden lock on the many-material / 68M-texel configuration: the
+    stand-in geometry is seeded-deterministic, so any drift in texture-pack
+    addressing, material routing, or the sun path fails here.  Delete the
+    .npy to regenerate after an intentional semantic change."""
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "sponza_standin_16x16_s1_b2.npy"
+    )
+    _, fs, static = sponza
+    res = R.render(fs, static, _cfg())
+    if not os.path.exists(golden_path):
+        np.save(golden_path, res.color)
+        pytest.skip("golden image generated")
+    golden = np.load(golden_path)
+    np.testing.assert_allclose(res.color, golden, rtol=1e-4, atol=1e-5)
