@@ -93,3 +93,49 @@ def test_exact_gate_pallas_matches_xla_gate():
     )
     assert bool(jnp.all(g1 == g2))
     assert bool(jnp.all(jnp.where(g1, n1, 0.0) == jnp.where(g2, n2, 0.0)))
+
+
+def test_frustum_gate_is_conservative_over_exact():
+    """The >2M-tri plan path: every (block, tile) the exact per-ray gate
+    admits must be admitted by the interval-arithmetic frustum gate, and the
+    frustum entry distance must lower-bound the exact one (safe for
+    front-to-back ordering and the kernel's early exit)."""
+    import numpy as np
+
+    from ptx.kernels import intersect_pallas as ip
+
+    rng = np.random.default_rng(3)
+    rays = np.zeros((512, 8), np.float32)
+    rays[:, 0:3] = rng.normal(size=(512, 3)) * 2
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    rays[:, 3:6] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    boxes = np.zeros((96, 8), np.float32)
+    lo = rng.normal(size=(96, 3)) * 3
+    boxes[:, 0:3] = lo
+    boxes[:, 3:6] = lo + rng.random((96, 3)) * 2
+
+    ge, ne = ip._exact_gate(jnp.asarray(rays), jnp.asarray(boxes))
+    gf, nf = ip._frustum_gate(jnp.asarray(rays), jnp.asarray(boxes))
+    ge, ne, gf, nf = map(np.asarray, (ge, ne, gf, nf))
+    assert (gf | ~ge).all()  # exact-admitted => frustum-admitted
+    both = ge & gf
+    assert (nf[both] <= ne[both] + 1e-4).all()  # lower-bounds the entry
+
+
+def test_frustum_plan_sweep_matches_brute(cornell, monkeypatch):
+    """Force the frustum plan on a small scene (threshold lowered) and
+    require the full sweep to still match brute exactly — the >2M-tri
+    configuration in miniature."""
+    from ptx.kernels import intersect_pallas as ip
+
+    fs, static = cornell
+    orig, dirn = _rays(fs)
+    monkeypatch.setattr(ip, "FRUSTUM_PLAN_TILES", 0)
+    monkeypatch.setattr(ip, "SMALL_TILES", 0)
+    hp = ip.closest_pallas(fs, orig, dirn, interpret=True)
+    hr = brute.brute_closest_attrs(fs, orig, dirn)
+    np.testing.assert_array_equal(np.asarray(hp.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[m], np.asarray(hr.t)[m], rtol=1e-5
+    )
