@@ -229,3 +229,24 @@ def test_vertex_grads_pallas_matches_brute():
     assert np.isfinite(gp).all()
     assert np.abs(gp).max() > 1.0  # gradients actually flow
     np.testing.assert_allclose(gp, gb, rtol=1e-3, atol=1e-4)
+
+
+def test_invert_cli_smoke():
+    """The README's `ptx invert` quick-start path: a few optimization steps
+    on a tiny config must run to completion and report a decreasing loss."""
+    import re
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ptx.cli", "invert", "--scene", CORNELL,
+         "--width", "8", "--height", "8", "--samples", "1", "--bounces",
+         "2", "--steps", "4", "--lr", "0.1", "--cpu",
+         "--intersector", "brute"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = out.stdout + out.stderr
+    losses = [float(m) for m in re.findall(r"loss[ =:]+([0-9.eE+-]+)", text)]
+    assert len(losses) >= 2, text[-1500:]
+    assert losses[-1] <= losses[0]
