@@ -177,7 +177,7 @@ def cmd_bench(args) -> int:
     from ptx.bench import run_backward_bench, run_bench
 
     fn = run_backward_bench if args.backward else run_bench
-    result = fn(scene=args.scene, cfg=None if args.backward else _config_from_args(args))
+    result = fn(scene=args.scene, cfg=_config_from_args(args))
     print(json.dumps(result))
     return 0
 

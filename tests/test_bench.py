@@ -68,3 +68,25 @@ def test_full_extra_bench_table_entries_are_callable():
     assert tiny <= full
     for fn in bench.extra_benches(tiny=False).values():
         assert callable(fn)
+
+
+def test_bench_cli_smoke():
+    """`ptx bench` (forward + --backward) honours the CLI size flags and
+    prints one JSON object."""
+    import subprocess
+    import sys
+
+    base = [sys.executable, "-m", "ptx.cli", "bench", "--scene",
+            "/root/reference/path-tracer-core/scenes/cornell-box/cornell.gltf",
+            "--width", "16", "--height", "16", "--samples", "2",
+            "--bounces", "2", "--cpu", "--intersector", "brute"]
+    env = {"PTX_BENCH_FULL": "0"}
+    import os
+
+    env = {**os.environ, **env}
+    for extra in ([], ["--backward"]):
+        out = subprocess.run(base + extra, capture_output=True, text=True,
+                             timeout=420, cwd="/root/repo", env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        doc = json.loads(out.stdout.strip().splitlines()[-1])
+        assert doc["value"] > 0
