@@ -112,3 +112,24 @@ def test_bvh_render_matches_brute_render():
     # Same RNG stream + same winning hits -> identical images up to reduce
     # order in the min (ties broken differently only on exact-equal t).
     np.testing.assert_allclose(a.color, b.color, rtol=1e-4, atol=1e-5)
+
+
+def test_native_and_numpy_builders_agree():
+    """The C++ binned-SAH builder (the default via backend='auto') must
+    produce the same tree as the numpy reference implementation: identical
+    node boxes, leaf ranges, escape links, and triangle ordering."""
+    from ptx.accel import native
+    from ptx.accel.bvh import build_bvh
+
+    if not native.available():
+        pytest.skip("native builder not built on this machine")
+
+    fs, static = R.load_scene("synthetic:5000", device=False)
+    a, sa = build_bvh(fs, static, backend="native")
+    b, sb = build_bvh(fs, static, backend="numpy")
+    assert sa.n_bvh_nodes == sb.n_bvh_nodes
+    for f in ("bvh_min", "bvh_max", "bvh_first", "bvh_count", "bvh_miss"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+    np.testing.assert_array_equal(np.asarray(a.tri_a), np.asarray(b.tri_a))
