@@ -116,3 +116,22 @@ def test_finalize_range():
     assert img.dtype == np.uint8
     assert img[0, 3] == 255
     assert img[0, 0] == 0 and img[0, 2] == 255
+
+
+def test_cli_metrics_report(tmp_path):
+    """`ptx render --metrics` prints the per-phase observability report
+    (trace/accumulate/finalize timers + throughput) — SURVEY §5's metrics
+    subsystem wired through the CLI."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ptx.cli", "render", "--scene", CORNELL,
+         "--out", str(tmp_path / "m.png"), "--width", "16", "--height",
+         "16", "--samples", "2", "--bounces", "2", "--cpu",
+         "--intersector", "brute", "--metrics"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "trace" in out.stderr and "finalize" in out.stderr
+    assert (tmp_path / "m.png").exists()
