@@ -50,3 +50,31 @@ def test_environment_factor_scales_miss():
     # With emissive off and a single bounce, radiance comes only from env
     # misses after the first bounce -> exactly doubles.
     np.testing.assert_allclose(b, a * 2.0, rtol=1e-5, atol=1e-7)
+
+
+def test_cli_env_flag_renders_with_hdr_map(tmp_path):
+    """`ptx render --env sky.hdr` end-to-end: RGBE round trip through the
+    CLI's env-map plumbing produces a lit image."""
+    import subprocess
+    import sys
+
+    from ptx.io.hdr import write_hdr
+
+    sky = np.zeros((8, 16, 3), np.float32)
+    sky[:4] = [0.4, 0.6, 1.2]   # bright upper hemisphere
+    sky[4:] = [0.05, 0.05, 0.05]
+    hdr_path = str(tmp_path / "sky.hdr")
+    write_hdr(hdr_path, sky)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ptx.cli", "render", "--scene", CORNELL,
+         "--out", str(tmp_path / "env.png"), "--width", "16", "--height",
+         "16", "--samples", "2", "--bounces", "2", "--cpu",
+         "--intersector", "brute", "--env", hdr_path],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    from ptx.io.png import read_png
+
+    img = read_png(str(tmp_path / "env.png"))
+    assert img[..., :3].max() > 0
