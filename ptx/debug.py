@@ -62,10 +62,14 @@ def visualize(fs: FlatScene, static: SceneStatic, cfg: RenderConfig,
         cfg_bvh = cfg if cfg.intersector == "bvh" else RenderConfig(
             **{**cfg.__dict__, "intersector": "bvh"}
         )
-        fs, static = ensure_accel(fs, static, cfg_bvh)
+        fs, static = ensure_accel(fs, static, cfg_bvh, device=True)
         visits = traverse.node_visits(fs, orig, dirn)
         return _heat(visits).reshape(h, w, 4)
 
+    # The beauty path runs ensure_accel + device placement inside render();
+    # the debug oracles intersect directly, so do both here (traced gathers
+    # into host numpy arrays fail under jit).
+    fs, static = ensure_accel(fs, static, cfg, device=True)
     closest, _ = get_backend(static, cfg)
     hit = closest(fs, orig, dirn)
 
