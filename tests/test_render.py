@@ -135,3 +135,38 @@ def test_cli_metrics_report(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "trace" in out.stderr and "finalize" in out.stderr
     assert (tmp_path / "m.png").exists()
+
+
+def test_cli_config_json_round_trip(tmp_path):
+    """`ptx render --config cfg.json` (the reference's worker_info payload
+    style, SURVEY §5 config layer): a JSON round-tripped RenderConfig must
+    drive the CLI to the same image as the equivalent flags."""
+    import subprocess
+    import sys
+
+    from ptx.io.png import read_png
+
+    cfg = RenderConfig(width=16, height=16, samples=2, bounces=2,
+                       intersector="brute")
+    cfg2 = RenderConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    base = [sys.executable, "-m", "ptx.cli", "render", "--scene", CORNELL,
+            "--cpu"]
+    a = subprocess.run(
+        base + ["--out", str(tmp_path / "a.png"), "--config", str(cfg_path)],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert a.returncode == 0, a.stderr[-2000:]
+    b = subprocess.run(
+        base + ["--out", str(tmp_path / "b.png"), "--width", "16",
+                "--height", "16", "--samples", "2", "--bounces", "2",
+                "--intersector", "brute"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert b.returncode == 0, b.stderr[-2000:]
+    np.testing.assert_array_equal(
+        read_png(str(tmp_path / "a.png")), read_png(str(tmp_path / "b.png"))
+    )
