@@ -66,6 +66,21 @@ def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
             lo, hi = _GEOM_ATTR_COLS[k]
             at = at.at[:, lo:hi].set(params[k])
         fs = fs._replace(tri_attrs=at)
+    if geom and fs.ptiles.shape[0] > 0:
+        # Prepacked traversal tiles (attach_tiles) bake vertex data; leaving
+        # them would make the Pallas sweep intersect the *old* geometry
+        # (ADVICE r4 medium).  Dropping them forces the in-call pack_tris
+        # repack from the now-current tri_* arrays, exactly as
+        # shard_scene.build_shard_scene does after re-stacking.
+        # LIMITATION: BVH *nodes* are not rebuilt here — geometry params
+        # moving triangles outside their build-time leaf AABBs make the
+        # 'bvh' intersector miss them, so geometry optimization must use the
+        # 'pallas' or 'brute' backend (the tile gate recomputes its boxes
+        # from the repacked tiles; only gate *quality* degrades with drift).
+        fs = fs._replace(
+            ptiles=jnp.zeros((0, 16, 1), jnp.float32),
+            pboxes=jnp.zeros((0, 8), jnp.float32),
+        )
     mats = [k for k in params if k in _MAT_PACKED_COLS]
     if mats and fs.mat_packed.shape[0] == fs.mat_albedo.shape[0]:
         row = fs.mat_packed

@@ -150,8 +150,11 @@ def pack_tris(fs: FlatScene):
     contiguous 32 KB DMA unit; rows 0-11 = Baldwin-Weber components
     (:func:`_bw_rows`), 16 rows for sublane alignment) + [n_tiles, 8] tile
     AABBs.  Zero columns are degenerate (n.dir = 0 -> NaN -> rejected) and
-    never hit; padding-tile boxes are empty (min > max) and never pass the
-    gate.
+    never hit.  NOTE: a padding tile's inverted box (min > max) does NOT
+    cull — the slab test's per-axis min/max swap makes an inverted box
+    equivalent to all-space, so it gates in for *every* ray (ADVICE r4).
+    Harmless: its one grind per block is idempotent (all-degenerate
+    columns) and sorts at near=0, but don't rely on empty boxes gating out.
 
     Expecting BVH-ordered triangles (ptx.accel.build_bvh) for tight tile
     boxes; unordered input stays correct, just culls less.
@@ -392,8 +395,10 @@ def _exact_gate_pallas(rays, boxes, interpret: bool = False):
         pad = pad.at[:, 3].set(1.0)  # unit dir: no NaN slabs
         rays = jnp.concatenate([rays, pad], axis=0)
     n_tiles = boxes.shape[0]
-    # Pad the tile axis to whole GATE_LANES chunks (empty boxes, lo > hi,
-    # never gate in) so the kernel's lane slices are always full-width.
+    # Pad the tile axis to whole GATE_LANES chunks so the kernel's lane
+    # slices are always full-width.  The inverted padding boxes (lo > hi)
+    # DO gate in (slab min/max swap = all-space; ADVICE r4) — that's fine
+    # here because the padded gate columns are sliced off at return below.
     tp = -(-n_tiles // GATE_LANES) * GATE_LANES
     if tp > n_tiles:
         pad = jnp.zeros((tp - n_tiles, 8), jnp.float32)

@@ -35,6 +35,11 @@ RIBBON_JITTER = 0.01  # vertex jitter, fraction of the scene half-extent
 INDEX_WINDOW = 4      # index window width => triangle size
 FREQ_RANGE = (3, 9)   # space-curve frequency band
 
+# Bump when generate_bin's output changes for a fixed seed — stamped next
+# to the cached .bin so stale caches regenerate (ADVICE r4: materialize
+# used to return the old seed's geometry for any new seed).
+GENERATOR_VERSION = 1
+
 _COMPONENT_DTYPES = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16,
     5123: np.uint16, 5125: np.uint32, 5126: np.float32,
@@ -224,12 +229,26 @@ def materialize(out_dir: str, scene_dir: str = SPONZA_DIR,
 
     uri = gltf["buffers"][0]["uri"]
     bin_path = os.path.join(out_dir, uri)
-    if not os.path.exists(bin_path):
+    # The stamp records what the cached .bin was generated from; a seed or
+    # generator change regenerates instead of silently serving stale
+    # geometry (ADVICE r4 low).
+    stamp_path = bin_path + ".gen.json"
+    want = {"seed": int(seed), "version": GENERATOR_VERSION}
+    have = None
+    if os.path.exists(stamp_path):
+        try:
+            with open(stamp_path) as f:
+                have = json.load(f)
+        except (OSError, ValueError):
+            have = None
+    if not os.path.exists(bin_path) or have != want:
         data = generate_bin(gltf, seed=seed)
         tmp = bin_path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, bin_path)
+        with open(stamp_path, "w") as f:
+            json.dump(want, f)
     return dst
 
 

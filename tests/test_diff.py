@@ -250,3 +250,39 @@ def test_invert_cli_smoke():
     losses = [float(m) for m in re.findall(r"loss[ =:]+([0-9.eE+-]+)", text)]
     assert len(losses) >= 2, text[-1500:]
     assert losses[-1] <= losses[0]
+
+
+def test_inject_geometry_resets_prepacked_tiles(cornell):
+    """ADVICE r4 medium: ``attach_tiles`` bakes vertex data into
+    ``fs.ptiles``/``fs.pboxes``; injecting geometry params must drop them so
+    the Pallas sweep repacks from the *current* vertices instead of
+    intersecting stale geometry."""
+    from ptx.kernels import intersect_pallas as kp
+    from ptx.scene import camera as pcamera
+
+    fs, static = cornell
+    fs_acc = kp.attach_tiles(fs)
+    assert fs_acc.ptiles.shape[0] > 0
+
+    shift = jnp.array([0.0, 0.0, 1.5], jnp.float32)
+    params = {"tri_a": fs.tri_a + shift}
+    fs_inj = inverse.inject_params(fs_acc, params)
+    assert fs_inj.ptiles.shape[0] == 0  # prepack dropped -> in-call repack
+
+    n = 32 * 32
+    pix = jnp.arange(n, dtype=jnp.int32)
+    smp = jnp.zeros_like(pix)
+    orig, dirn = pcamera.generate_rays(fs, pix, smp, 32, 32)
+
+    hp = kp.closest_pallas(fs_inj, orig, dirn, interpret=True)
+    # Oracle: the same inject on a never-prepacked scene.
+    fs_ref = inverse.inject_params(fs, params)
+    hr = kp.closest_pallas(fs_ref, orig, dirn, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hp.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[m], np.asarray(hr.t)[m], rtol=1e-5
+    )
+    # And the move is real: winners differ from the unmoved scene.
+    h0 = kp.closest_pallas(fs_acc, orig, dirn, interpret=True)
+    assert not np.array_equal(np.asarray(h0.t), np.asarray(hp.t))

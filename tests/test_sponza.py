@@ -165,3 +165,30 @@ def test_sponza_render_golden(sponza):
         pytest.skip("golden image generated")
     golden = np.load(golden_path)
     np.testing.assert_allclose(res.color, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_materialize_regenerates_on_seed_change(tmp_path):
+    """ADVICE r4 low: a cached .bin from seed A must not be served for
+    seed B — the stamp file ties the cache to (seed, generator version)."""
+    import json
+    import os
+
+    from ptx.scene import standin
+
+    out = str(tmp_path / "scene")
+    gltf = standin.materialize(out, seed=0)
+    uri = json.load(open(gltf))["buffers"][0]["uri"]
+    bin_path = os.path.join(out, uri)
+    a = open(bin_path, "rb").read()
+
+    # Same seed: cache hit (mtime unchanged).
+    m0 = os.path.getmtime(bin_path)
+    standin.materialize(out, seed=0)
+    assert os.path.getmtime(bin_path) == m0
+
+    # New seed: regenerated, different bytes.
+    standin.materialize(out, seed=7)
+    b = open(bin_path, "rb").read()
+    assert a != b
+    stamp = json.load(open(bin_path + ".gen.json"))
+    assert stamp == {"seed": 7, "version": standin.GENERATOR_VERSION}
