@@ -17,7 +17,9 @@ Feature parity with the reference loader:
 * PBR metallic-roughness materials with the reference's five texture slots
   and sRGB conventions (``load_gltf.cpp:256-318``), shadow-catcher-by-name
   ("shadow"+"catcher" in the material name, ``load_gltf.cpp:312-314``),
-* perspective camera found by camera index 0 (``load_gltf.cpp:30-33``),
+* perspective camera bound BY NAME to cameras[0] (entity named after its
+  referenced camera/light, last preorder match wins, ``load_gltf.cpp:67-72,
+  111-126``); sun only when lights[0] is directional (``:36-46``),
 * optional directional sun light: first directional light, energy =
   color * intensity (``load_gltf.cpp:35-46,120-126``).
 """
@@ -354,9 +356,17 @@ def load(
     lights = gltf.get("extensions", {}).get("KHR_lights_punctual", {}).get(
         "lights", []
     )
-    sun_light_index = next(
-        (i for i, l in enumerate(lights) if l.get("type") == "directional"), None
-    )
+    # The reference hardcodes sun_light_index = 0 and only accepts it when
+    # light #0 is directional — any other light list yields NO sun, even if
+    # a directional light exists later (load_gltf.cpp:14-15,36-46).
+    sun0 = lights[0] if lights and lights[0].get("type") == "directional" else None
+    sun0_name = sun0.get("name") if sun0 is not None else None
+
+    # Camera #0 is likewise hardcoded (load_gltf.cpp:14,30-33); its *name*
+    # is what binds it to a node below.
+    cameras = gltf.get("cameras", [])
+    cam0 = cameras[0] if cameras else None
+    cam0_name = cam0.get("name") if cam0 is not None else None
 
     # --- walk the scene graph ----------------------------------------------
     scene = gltf["scenes"][gltf.get("scene", 0)]
@@ -432,29 +442,48 @@ def load(
                     )
                 )
 
-        if "camera" in node and node["camera"] == 0 and camera is None:
-            cam = gltf["cameras"][0]
-            if cam.get("type") == "perspective":
-                camera = CameraData(
-                    yfov=float(cam["perspective"]["yfov"]),
-                    world_basis=world_basis.astype(np.float32),
-                    world_origin=world_origin.astype(np.float32),
-                )
-
+        # --- camera/sun binding: BY NAME, as the reference does ------------
+        # The reference names each entity after its referenced camera or
+        # light (falling back to the node name) and then binds the camera /
+        # sun component to the entity whose name equals cameras[0]'s /
+        # lights[0]'s name, every match overwriting the previous one — so
+        # the LAST matching node in preorder wins (load_gltf.cpp:67-72,
+        # 111-126).  A node referencing camera 0 always matches (its
+        # entity name IS cam0's name); divergence from index-binding shows
+        # when two cameras share a name or a plain node is named like the
+        # camera.  yfov/energy always come from cameras[0]/lights[0]; only
+        # the TRANSFORM comes from the matched node.
         node_light = (
             node.get("extensions", {}).get("KHR_lights_punctual", {}).get("light")
         )
-        if (
-            sun is None
-            and sun_light_index is not None
-            and node_light == sun_light_index
-        ):
-            light = lights[sun_light_index]
-            color = np.asarray(light.get("color", [1.0, 1.0, 1.0]), np.float32)
-            intensity = float(light.get("intensity", 1.0))
-            direction = world_basis @ np.array([0.0, 0.0, 1.0], np.float32)
-            direction = direction / (np.linalg.norm(direction) or 1.0)
-            sun = SunData(direction=direction, energy=color * intensity)
+        if "camera" in node and node["camera"] < len(cameras):
+            ename = cameras[node["camera"]].get("name")
+            named_match = ename == cam0_name
+        elif node_light is not None and node_light < len(lights):
+            ename = lights[node_light].get("name")
+            named_match = ename is not None and ename == cam0_name
+        else:
+            ename = node.get("name")
+            named_match = ename is not None and ename == cam0_name
+
+        if named_match and cam0 is not None and cam0.get("type") == "perspective":
+            camera = CameraData(
+                yfov=float(cam0["perspective"]["yfov"]),
+                world_basis=world_basis.astype(np.float32),
+                world_origin=world_origin.astype(np.float32),
+            )
+
+        if sun0 is not None:
+            if node_light is not None and node_light < len(lights):
+                sun_match = lights[node_light].get("name") == sun0_name
+            else:
+                sun_match = ename is not None and ename == sun0_name
+            if sun_match:
+                color = np.asarray(sun0.get("color", [1.0, 1.0, 1.0]), np.float32)
+                intensity = float(sun0.get("intensity", 1.0))
+                direction = world_basis @ np.array([0.0, 0.0, 1.0], np.float32)
+                direction = direction / (np.linalg.norm(direction) or 1.0)
+                sun = SunData(direction=direction, energy=color * intensity)
 
         for child in node.get("children", []):
             walk(child, world_basis, world_origin)
