@@ -235,9 +235,13 @@ def build_texture_shards(
     # within-texture index in float32 (sample_texture), so the exactness
     # guard is per-texture, not per-pack; int32 bounds the stacked pack.
     if sizes and max(sizes) >= (1 << 24):
+        # flatten() box-mips every texture below 2^24 at load
+        # (ptx.scene.flatten.mip_to_limit), so this only fires on
+        # hand-built FlatScenes that skipped it.
         raise ValueError(
             f"largest texture has {max(sizes)} texels (>= 2^24); float32 "
-            "within-texture addressing would lose exactness — mip it"
+            "within-texture addressing would lose exactness — flatten() "
+            "mips oversized textures, route loading through it"
         )
     if tp * per_shard >= (1 << 31):
         raise ValueError("stacked texel pack exceeds int32 addressing")

@@ -29,6 +29,43 @@ import numpy as np
 
 from ptx.scene.gltf import SceneData, decode_image
 
+# float32 within-texture addressing is exact below this many texels
+# (ptx/scene/textures.py); larger textures are box-filter mipped down at
+# flatten instead of rejected (the reference streams any size from S3,
+# load_gltf.cpp:142-162 — refusing to load would be a capability gap).
+TEXEL_LIMIT = 1 << 24
+
+
+def _mip_once(px: np.ndarray) -> np.ndarray:
+    """One 2x2 box-filter level (odd trailing row/col cropped); degenerate
+    1-wide/1-tall images halve along their long axis only."""
+    h, w = px.shape[:2]
+    if h >= 2 and w >= 2:
+        px = px[: h // 2 * 2, : w // 2 * 2]
+        return 0.25 * (px[0::2, 0::2] + px[1::2, 0::2]
+                       + px[0::2, 1::2] + px[1::2, 1::2])
+    if w >= 2:
+        return 0.5 * (px[:, : w // 2 * 2][:, 0::2] + px[:, : w // 2 * 2][:, 1::2])
+    return 0.5 * (px[: h // 2 * 2][0::2] + px[: h // 2 * 2][1::2])
+
+
+def mip_to_limit(px: np.ndarray, limit: int = TEXEL_LIMIT,
+                 label: str = "texture") -> np.ndarray:
+    """Box-filter ``px`` [H, W, C] down until H*W < limit (linear-space
+    average — textures are already sRGB-decoded at this point)."""
+    import warnings
+
+    h0, w0 = px.shape[:2]
+    while px.shape[0] * px.shape[1] >= limit:
+        px = _mip_once(px.astype(np.float32, copy=False))
+    if (h0, w0) != px.shape[:2]:
+        warnings.warn(
+            f"{label} is {w0}x{h0} (>= 2^24 texels, past exact float32 "
+            f"addressing); box-mipped to {px.shape[1]}x{px.shape[0]}"
+        )
+    return px
+
+
 # Texture slot order in FlatScene.mat_tex.
 SLOT_NORMAL = 0
 SLOT_ALBEDO = 1
@@ -254,6 +291,7 @@ def flatten(
             pixels = decode_image(img, base_dir)
         if pixels is None:
             raise ValueError(f"texture {img.uri} not decoded")
+        pixels = mip_to_limit(pixels, label=f"texture {img.uri!r}")
         h, w = pixels.shape[:2]
         image_to_slot[img_idx] = len(widths)
         widths.append(w)
@@ -264,6 +302,7 @@ def flatten(
 
     env_tex = -1
     if env_image is not None:
+        env_image = mip_to_limit(env_image, label="environment map")
         h, w = env_image.shape[:2]
         env_tex = len(widths)
         widths.append(w)
@@ -294,14 +333,11 @@ def flatten(
 
     # Texture addressing: the *within-texture* index runs in float32 (exact
     # integers < 2^24), pack offsets stay int32 — see ptx/scene/textures.py.
-    # So the guard is per texture, not per pack (sponza-new's real texture
-    # set packs 68M texels and must flatten single-chip).
+    # The limit is per texture, not per pack (sponza-new's real texture set
+    # packs 68M texels and must flatten single-chip); mip_to_limit above
+    # guarantees it, so this is an internal invariant.
     biggest = max((w * h for w, h in zip(widths, heights)), default=0)
-    if biggest >= (1 << 24):
-        raise ValueError(
-            f"largest texture has {biggest} texels (>= 2^24); float32 "
-            "within-texture addressing would lose exactness — mip it"
-        )
+    assert biggest < TEXEL_LIMIT, biggest
     if cursor >= (1 << 31):
         raise ValueError(
             f"texture pack has {cursor} texels; int32 addressing overflows"

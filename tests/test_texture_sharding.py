@@ -108,3 +108,59 @@ def test_jack_tp2_sharded_pack_bitmatch():
     rep = dist.render_distributed(fs, static, cfg, plan=plan_rep, mesh=mesh_dev)
     shd = dist.render_distributed(fs, static, cfg, plan=plan_shd, mesh=mesh_dev)
     np.testing.assert_array_equal(rep.color, shd.color)
+
+
+def test_oversized_texture_mips_and_round_trips_tp2():
+    """VERDICT r4 #8: a 4096x4096 texture (2^24 texels — past exact float32
+    addressing) must LOAD (box-mipped at flatten with a warning, matching
+    the reference's stream-any-size behavior, load_gltf.cpp:142-162),
+    render, and round-trip under tp=2 texture sharding."""
+    from ptx.scene.flatten import TEXEL_LIMIT
+    from ptx.scene.synthetic import make_textured_quads
+
+    scene = make_textured_quads(2)
+    # Blow up texture 0 to exactly 2^24 texels: a smooth gradient so the
+    # mip keeps recognizable content.
+    y = np.linspace(0.0, 1.0, 4096, dtype=np.float32)
+    big = np.empty((4096, 4096, 4), np.float32)
+    big[..., 0] = y[:, None]
+    big[..., 1] = y[None, :]
+    big[..., 2] = 0.25
+    big[..., 3] = 1.0
+    scene.images[0].pixels = big
+
+    with pytest.warns(UserWarning, match="box-mipped"):
+        fs, static = flatten(scene)
+    sizes = np.asarray(fs.tex_width).astype(np.int64) * np.asarray(fs.tex_height)
+    assert sizes.max() < TEXEL_LIMIT
+    # Texture 0 is slot 2 (after the white + flat-normal builtins): mipped
+    # one level to 2048x2048, the rest untouched.
+    assert int(np.asarray(fs.tex_width)[2]) == 2048
+
+    cfg = RenderConfig(width=16, height=16, samples=1, bounces=2,
+                       intersector="brute", environment_factor=(0.0, 0.0, 0.0))
+    single = R.render(fs, static, cfg)
+    assert np.isfinite(np.asarray(single.color)).all()
+    assert np.asarray(single.color).max() > 0
+
+    plan_rep = pmesh.Plan(dp=4, tp=2, scene_sharded=True, shard_textures=False)
+    plan_shd = pmesh.Plan(dp=4, tp=2, scene_sharded=True, shard_textures=True)
+    mesh_dev = pmesh.make_mesh(plan_rep)
+    rep = dist.render_distributed(fs, static, cfg, plan=plan_rep, mesh=mesh_dev)
+    shd = dist.render_distributed(fs, static, cfg, plan=plan_shd, mesh=mesh_dev)
+    np.testing.assert_array_equal(rep.color, shd.color)
+    np.testing.assert_allclose(shd.color, single.color, rtol=1e-5, atol=1e-6)
+
+
+def test_mip_box_filter_values():
+    """One mip level is the exact 2x2 average; odd trailing row/col crops."""
+    from ptx.scene.flatten import _mip_once
+
+    px = np.arange(4 * 4 * 1, dtype=np.float32).reshape(4, 4, 1)
+    m = _mip_once(px)
+    assert m.shape == (2, 2, 1)
+    np.testing.assert_allclose(m[0, 0, 0], (0 + 1 + 4 + 5) / 4.0)
+    np.testing.assert_allclose(m[1, 1, 0], (10 + 11 + 14 + 15) / 4.0)
+    # 5x3 -> crops to 4x2 -> 2x1
+    odd = np.ones((5, 3, 4), np.float32)
+    assert _mip_once(odd).shape == (2, 1, 4)
