@@ -208,10 +208,12 @@ def run_backward_bench(
     fs, static = R.load_scene(scene, quirks=cfg.quirks)
     n_pixels = cfg.width * cfg.height
     target = jnp.zeros((n_pixels, 3))
-    loss_fn = inverse.make_batch_loss_fn(
+    # Chunked forward+backward (inverse.make_batch_value_and_grad_fn):
+    # residual memory is O(chunk), so geometry gradients run at full
+    # resolution instead of OOMing past 64x64 (VERDICT r4 #1).
+    grad_fn = jax.jit(inverse.make_batch_value_and_grad_fn(
         static, cfg, target, cfg.samples, param_fields=param_fields
-    )
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    ))
     params = {f: getattr(fs, f) for f in param_fields}
 
     out = grad_fn(params, fs)

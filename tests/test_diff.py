@@ -286,3 +286,75 @@ def test_inject_geometry_resets_prepacked_tiles(cornell):
     # And the move is real: winners differ from the unmoved scene.
     h0 = kp.closest_pallas(fs_acc, orig, dirn, interpret=True)
     assert not np.array_equal(np.asarray(h0.t), np.asarray(hp.t))
+
+
+@pytest.mark.parametrize("fields", [("mat_albedo",), ("tri_a",)])
+def test_chunked_value_and_grad_matches_unchunked(cornell, fields):
+    """VERDICT r4 #1: the chunked vjp (lax.scan over pixel chunks, one
+    chunk's residuals live at a time) must reproduce the monolithic
+    jax.value_and_grad of make_batch_loss_fn exactly — both for the fast
+    custom_vjp material path and the general differentiable scan that flows
+    through the Moller-Trumbore vjp."""
+    fs, static = cornell
+    cfg = _cfg(width=16, height=16, samples=2)
+    n_pixels = cfg.width * cfg.height
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.uniform(0, 1, (n_pixels, 3)), jnp.float32)
+
+    params = {f: getattr(fs, f) for f in fields}
+    ref_loss = inverse.make_batch_loss_fn(
+        static, cfg, target, cfg.samples, param_fields=fields
+    )
+    v_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(params, fs)
+
+    # Force real chunking: 64-pixel chunks -> 4 chunks x 2 fused samples.
+    vg = jax.jit(inverse.make_batch_value_and_grad_fn(
+        static, cfg, target, cfg.samples, param_fields=fields,
+        max_chunk_rays=128,
+    ))
+    v_chk, g_chk = vg(params, fs)
+
+    np.testing.assert_allclose(float(v_chk), float(v_ref), rtol=1e-6)
+    for f in fields:
+        np.testing.assert_allclose(
+            np.asarray(g_chk[f]), np.asarray(g_ref[f]), rtol=1e-5, atol=1e-7
+        )
+
+    # And the single-chunk path (cap >= frame) is the trivial case.
+    vg1 = jax.jit(inverse.make_batch_value_and_grad_fn(
+        static, cfg, target, cfg.samples, param_fields=fields,
+    ))
+    v1, g1 = vg1(params, fs)
+    np.testing.assert_allclose(float(v1), float(v_ref), rtol=1e-6)
+    for f in fields:
+        # sum-then-scale vs mean: float32 reassociation, not a logic delta
+        np.testing.assert_allclose(
+            np.asarray(g1[f]), np.asarray(g_ref[f]), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_chunked_vjp_sample_groups_checkpoint(cornell):
+    """Sample groups past the chunk cap re-materialise (jax.checkpoint)
+    instead of accumulating residuals; the math must stay exact — the
+    objective is MSE of the 4-sample mean, not mean of per-group MSEs."""
+    fs, static = cornell
+    cfg = _cfg(width=8, height=8, samples=4)
+    n_pixels = cfg.width * cfg.height
+    target = jnp.zeros((n_pixels, 3))
+    params = {"mat_albedo": fs.mat_albedo}
+
+    ref_loss = inverse.make_batch_loss_fn(
+        static, cfg, target, cfg.samples, param_fields=("mat_albedo",)
+    )
+    v_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(params, fs)
+    # cap of 128 rays: chunk = 64 px x 2 samples -> 2 groups per chunk.
+    vg = jax.jit(inverse.make_batch_value_and_grad_fn(
+        static, cfg, target, cfg.samples, param_fields=("mat_albedo",),
+        max_chunk_rays=128,
+    ))
+    v, g = vg(params, fs)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g["mat_albedo"]), np.asarray(g_ref["mat_albedo"]),
+        rtol=1e-5, atol=1e-7,
+    )
