@@ -215,6 +215,12 @@ def run_backward_bench(
                            intersector="pallas")
     scene = scene or CORNELL
     fs, static = R.load_scene(scene, quirks=cfg.quirks)
+    # BVH-order the triangles + prepack traversal tiles up front: params
+    # extracted AFTER the reorder stay index-aligned, the Pallas gate gets
+    # leaf-contiguous (spatially tight) tiles, and the geometry-param path
+    # refreshes the prepack once per loss eval instead of re-packing
+    # inside every sweep (inverse.make_batch_value_and_grad_fn).
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
     n_pixels = cfg.width * cfg.height
     target = jnp.zeros((n_pixels, 3))
     # Chunked forward+backward (inverse.make_batch_value_and_grad_fn):
@@ -410,7 +416,9 @@ def run_intersect_roofline(n_rays: int = 65536, n_tris: int = 65536) -> dict:
     }
 
 
-def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
+def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144,
+                        scene: Optional[str] = None,
+                        metric: str = "pallas_intersect_roofline") -> dict:
     """Roofline of the PRODUCTION Pallas block-traversal sweep
     (``ptx.kernels.intersect_pallas``) — BASELINE.md's speed-of-light
     account for the intersection kernel that actually runs the flagship.
@@ -438,9 +446,10 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
 
     cfg = RenderConfig(width=256, height=256, samples=2, bounces=1,
                        intersector="pallas", sort_rays="off")
-    fs, static = R.load_scene(f"synthetic:{n_tris}", quirks=cfg.quirks,
-                              device=False)
+    fs, static = R.load_scene(scene or f"synthetic:{n_tris}",
+                              quirks=cfg.quirks, device=False)
     fs, static = R.ensure_accel(fs, static, cfg, device=True)
+    n_tris = static.n_tris
 
     from ptx.scene import camera as pcamera
     pixel_ids = jnp.arange(n_rays, dtype=jnp.int32) % (cfg.width * cfg.height)
@@ -471,7 +480,7 @@ def run_pallas_roofline(n_rays: int = 131072, n_tris: int = 262144) -> dict:
     achieved = flops / dt
     achieved_bw = bytes_dma / dt
     return {
-        "metric": "pallas_intersect_roofline",
+        "metric": metric,
         "rays": n_rays,
         "tris": n_tris,
         "visited_tiles": visited_tiles,
@@ -581,6 +590,18 @@ def extra_benches(tiny: bool = False):
         "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
             "synthetic:1000000", "soup1m_256x256x4spp_b4_forward",
             RenderConfig(**full), reps=2,
+        ),
+        # Structured architectural scene (VERDICT r4 #5): coherent normals,
+        # real occlusion (courtyard + colonnades + skylight sun), ~273k
+        # tris — calibrates the soup-based sponza stand-in rows.  The
+        # matching roofline reports tile-gate stats (avg visited
+        # tiles/block) on architecture vs the 262k random soup.
+        "arch300k_256x256x4spp_b4_forward": lambda: run_scene_bench(
+            "arch:300000", "arch300k_256x256x4spp_b4_forward",
+            RenderConfig(**full), reps=2,
+        ),
+        "pallas_roofline_arch": lambda: run_pallas_roofline(
+            scene="arch:262144", metric="pallas_roofline_arch",
         ),
         # The reference's monolithic-renderer resolution (renderer.hpp:21):
         # 2.07M rays/sample auto-chunk into 72 launches of 28800 rays

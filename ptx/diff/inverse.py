@@ -56,8 +56,16 @@ _MAT_PACKED_COLS = {
 }
 
 
-def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
-    """Overlay an optimization-parameter dict onto a FlatScene."""
+def inject_params(
+    fs: FlatScene, params: Dict[str, jnp.ndarray], keep_tiles: bool = False
+) -> FlatScene:
+    """Overlay an optimization-parameter dict onto a FlatScene.
+
+    ``keep_tiles=True`` asserts the caller has already refreshed
+    ``fs.ptiles``/``fs.pboxes`` for these geometry params (the hoisted
+    once-per-loss repack in :func:`make_batch_value_and_grad_fn`), so the
+    prepack is NOT dropped — without it, dropping forces pack_tris to
+    re-run inside every sweep (16x per 8-iteration chunk)."""
     fs = fs._replace(**params)
     geom = [k for k in params if k in _GEOM_ATTR_COLS]
     if geom and fs.tri_attrs.shape[0] == fs.tri_a.shape[0]:
@@ -66,7 +74,7 @@ def inject_params(fs: FlatScene, params: Dict[str, jnp.ndarray]) -> FlatScene:
             lo, hi = _GEOM_ATTR_COLS[k]
             at = at.at[:, lo:hi].set(params[k])
         fs = fs._replace(tri_attrs=at)
-    if geom and fs.ptiles.shape[0] > 0:
+    if geom and fs.ptiles.shape[0] > 0 and not keep_tiles:
         # Prepacked traversal tiles (attach_tiles) bake vertex data; leaving
         # them would make the Pallas sweep intersect the *old* geometry
         # (ADVICE r4 medium).  Dropping them forces the in-call pack_tris
@@ -270,9 +278,11 @@ def make_batch_value_and_grad_fn(
     n_chunks = n_pixels // cp
     n_groups = n_samples // k
 
+    geom_params = bool(set(param_fields) & set(_GEOM_ATTR_COLS))
+
     def chunk_loss(params, fs: FlatScene, c):
         """Sum of squared errors over pixel chunk ``c`` (scaled later)."""
-        fsx = inject_params(fs, params)
+        fsx = inject_params(fs, params, keep_tiles=True)
         pix = c * cp + jnp.arange(cp, dtype=jnp.int32)
         pixel_ids = jnp.tile(pix, k)
 
@@ -300,6 +310,20 @@ def make_batch_value_and_grad_fn(
     denom = float(n_pixels * 3)  # jnp.mean over the [P, 3] image
 
     def value_and_grad(params, fs: FlatScene):
+        if geom_params and fs.ptiles.shape[0] > 0:
+            # Hoisted traversal-tile repack: the prepacked tiles bake vertex
+            # data, so geometry params must refresh them — but ONCE per loss
+            # evaluation, not once per sweep (inject_params' default drop
+            # forces an in-call pack_tris in all 16 sweeps of an 8-iteration
+            # chunk).  Tiles/boxes only steer winner SELECTION (the kernel
+            # is stop-gradient anyway; gradients flow through the exact
+            # epilogue recompute), so packing from stop-gradient'd params
+            # is exact.
+            from ptx.kernels.intersect_pallas import pack_tris
+
+            sgp = jax.tree.map(jax.lax.stop_gradient, params)
+            tiles, boxes = pack_tris(inject_params(fs, sgp, keep_tiles=True))
+            fs = fs._replace(ptiles=tiles, pboxes=boxes)
         if n_chunks == 1:
             tot, grads = jax.value_and_grad(chunk_loss)(
                 params, fs, jnp.int32(0)

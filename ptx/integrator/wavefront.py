@@ -511,6 +511,12 @@ def make_integrator(
                 # lane is dead (e.g. opacity-headroom iterations on scenes
                 # where nothing passes through) — lax.cond is reverse-mode
                 # differentiable, so the scan stays AD-safe.
+                # (Negative result, round 5: permuting lanes live-first
+                # before the sweeps — to recover the production forward's
+                # compaction win — LOSES here: the ~18 per-field permutation
+                # gathers/iter cost more than the grind they save, 346.8 ->
+                # 398.7 ms measured on jack 32k rays.  Parking alone already
+                # makes dead lanes fail every tile gate.)
                 def live(ss):
                     tr = trace(fs, it, ss)
                     return jax.checkpoint(

@@ -45,6 +45,11 @@ def load_scene(
 
         fs, static = load_synthetic(path)
         return (to_device(fs) if device else fs), static
+    if path.startswith("arch:"):
+        from ptx.scene.arch import load_arch
+
+        fs, static = load_arch(path)
+        return (to_device(fs) if device else fs), static
     scene = gltf.load(path, scene_work=scene_work)
     fs, static = flatten(
         scene,

@@ -1,0 +1,54 @@
+"""The structured architectural benchmark scene (ptx.scene.arch).
+
+VERDICT r4 #5: the sponza-class rows ran on jittered ribbon soup whose
+spatial incoherence is unlike architecture; this fixture is a deterministic
+courtyard (floor, punched-window walls, two-storey colonnades, balcony
+slabs, skylight sun) tessellated to a requested triangle budget."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptx import render as R
+from ptx.config import RenderConfig
+from ptx.scene.arch import make_arch_scene
+from ptx.scene.flatten import flatten
+
+
+def test_arch_deterministic_and_sized():
+    a = make_arch_scene(60_000)
+    b = make_arch_scene(60_000)
+    na = sum(p.indices.shape[0] for p in a.primitives)
+    nb = sum(p.indices.shape[0] for p in b.primitives)
+    assert na == nb
+    # Within 25% of the requested budget (tessellation quantizes).
+    assert 0.75 * 60_000 <= na <= 1.25 * 60_000
+    for pa, pb in zip(a.primitives, b.primitives):
+        np.testing.assert_array_equal(pa.positions, pb.positions)
+        np.testing.assert_array_equal(pa.indices, pb.indices)
+    # Normals are unit and coherent (axis-aligned for the grids).
+    n = a.primitives[0].normals
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_arch_renders_with_sun_occlusion():
+    """The skylight sun must light the courtyard, and the balcony slabs /
+    walls must occlude: the image is neither black nor uniformly lit."""
+    fs, static = R.load_scene("arch:20000", device=False)
+    assert static.has_sun
+    cfg = RenderConfig(width=48, height=36, samples=1, bounces=2,
+                       intersector="bvh")
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
+    res = R.render(fs, static, cfg)
+    c = np.asarray(res.color)
+    assert np.isfinite(c).all()
+    lum = c.sum(-1)
+    assert lum.max() > 0.05          # sun gets in
+    assert (lum > 0).mean() > 0.2    # a real view, not a sliver
+    # Occlusion: meaningful brightness variation across the frame.
+    assert lum.std() / (lum.mean() + 1e-9) > 0.3
+
+
+def test_arch_scheme_string_and_flatten():
+    fs, static = R.load_scene("arch:40000", device=False)
+    assert 0.75 * 40_000 <= static.n_tris <= 1.25 * 40_000
+    assert np.asarray(fs.tri_valid).sum() == static.n_tris

@@ -358,3 +358,31 @@ def test_chunked_vjp_sample_groups_checkpoint(cornell):
         np.asarray(g["mat_albedo"]), np.asarray(g_ref["mat_albedo"]),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_chunked_vg_hoisted_tile_repack(cornell):
+    """Geometry params + prepacked tiles: the vg hoists ONE pack_tris per
+    loss eval (stop-gradient, selection-only) instead of dropping the
+    prepack; values and grads must match the never-prepacked scene."""
+    from ptx.kernels import intersect_pallas as kp
+
+    fs, static = cornell
+    cfg = _cfg(width=16, height=16, samples=2, intersector="pallas")
+    n_pixels = cfg.width * cfg.height
+    target = jnp.zeros((n_pixels, 3))
+    shift = jnp.array([0.05, 0.0, 0.0], jnp.float32)
+    params = {"tri_a": fs.tri_a + shift}
+
+    fs_acc = kp.attach_tiles(fs)
+    vg = jax.jit(inverse.make_batch_value_and_grad_fn(
+        static, cfg, target, cfg.samples, param_fields=("tri_a",),
+        max_chunk_rays=128,
+    ))
+    v_acc, g_acc = vg(params, fs_acc)
+    v_ref, g_ref = vg(params, fs)  # no prepack: in-call packing oracle
+    np.testing.assert_allclose(float(v_acc), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_acc["tri_a"]), np.asarray(g_ref["tri_a"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    assert float(jnp.abs(g_acc["tri_a"]).max()) >= 0  # finite

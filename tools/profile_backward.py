@@ -44,6 +44,7 @@ def main():
     cfg = RenderConfig(width=w, height=h, samples=spp, bounces=b,
                        intersector="pallas")
     fs, static = R.load_scene(JACK, quirks=cfg.quirks)
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
     n_pixels = w * h
     paths = n_pixels * spp
     target = jnp.zeros((n_pixels, 3))
@@ -79,8 +80,20 @@ def main():
     print(f"chunks: {n_chunks} x ({cp} px x {k} spp = {cp*k} rays)",
           flush=True)
 
+    def refresh_tiles(params, fsx):
+        # The hoisted once-per-loss repack (inverse.make_batch_value_and_grad_fn).
+        if any(f in inverse._GEOM_ATTR_COLS for f in params):
+            from ptx.kernels.intersect_pallas import pack_tris
+
+            sgp = jax.tree.map(jax.lax.stop_gradient, params)
+            t_, b_ = pack_tris(
+                inverse.inject_params(fsx, sgp, keep_tiles=True)
+            )
+            fsx = fsx._replace(ptiles=t_, pboxes=b_)
+        return fsx
+
     def chunk_loss(params, fsx, c):
-        fsx = inverse.inject_params(fsx, params)
+        fsx = inverse.inject_params(fsx, params, keep_tiles=True)
         pix = c * cp + jnp.arange(cp, dtype=jnp.int32)
         pixel_ids = jnp.tile(pix, k)
         sample_ids = jnp.repeat(jnp.arange(k, dtype=jnp.int32), cp)
@@ -91,6 +104,8 @@ def main():
 
     @jax.jit
     def fwd(params, fsx):
+        fsx = refresh_tiles(params, fsx)
+
         def body(acc, c):
             return acc + chunk_loss(params, fsx, c), None
 
@@ -101,6 +116,8 @@ def main():
 
     def make_vg(fields):
         def vg(params, fsx):
+            fsx = refresh_tiles(params, fsx)
+
             def body(carry, c):
                 t, g = carry
                 v, gc = jax.value_and_grad(chunk_loss)(params, fsx, c)
