@@ -113,7 +113,22 @@ def _resolve_diff_integrator(static, cfg, closest, any_hit, param_fields):
 
     if set(param_fields) <= FAST_SAFE_FIELDS:
         return make_fast_diff_integrator(static, cfg, closest, any_hit)
-    return make_integrator(static, cfg, closest, any_hit, differentiable=True)
+    if set(param_fields) & set(_GEOM_ATTR_COLS):
+        from ptx.render import resolve_intersector
+
+        if resolve_intersector(static, cfg) == "pallas":
+            # Narrow-cotangent AD routing for vertex gradients: the [T,40]
+            # tri_attrs row scatter the backward would otherwise emit is
+            # ~3.9x the cost of three [T,3] ones (closest_pallas docstring).
+            from ptx.kernels.intersect_pallas import make_backend
+
+            closest, any_hit = make_backend(static, split_geom_grad=True)
+    # remat_shade=False: chunked-vjp callers already bound residual memory,
+    # so storing the shade intermediates beats re-running the shade forward
+    # in backward (jack 128x128x4spp vertex grads: 91.6k -> 106.1k
+    # grad-paths/s measured, tools/bwd_experiments.py).
+    return make_integrator(static, cfg, closest, any_hit, differentiable=True,
+                           remat_shade=False)
 
 
 def make_loss_fn(

@@ -60,7 +60,7 @@ class RayState(NamedTuple):
     sample_ids: jnp.ndarray  # [R] i32
 
 
-def compute_hit_attrs(fs: FlatScene, tri, beta, gamma, at=None):
+def compute_hit_attrs(fs: FlatScene, tri, beta, gamma, at=None, geom=None):
     """Barycentric attribute interpolation at hit points — the flat-array
     version of ``distributed_scene::intersect``'s attribute block
     (``src/scene/intersect.cpp:112-150``).  Normals/tangents were baked with
@@ -70,7 +70,10 @@ def compute_hit_attrs(fs: FlatScene, tri, beta, gamma, at=None):
     Everything comes from the packed ``tri_attrs`` row when flatten built it
     (ONE [R, 40] gather, including the vertex data for the position — TPU
     row gathers cost per *op*, not per byte); values are identical either
-    way.  Pass ``at`` when the caller already gathered the rows."""
+    way.  Pass ``at`` when the caller already gathered the rows, and
+    ``geom=(a, e1, e2)`` to override the vertex columns — the
+    split-geometry-gradient path routes d/d vertices through the narrow
+    [T, 3] leaves instead of the [T, 40] row scatter (closest_pallas)."""
     alpha_w = 1.0 - beta - gamma
     w0, w1, w2 = alpha_w[..., None], beta[..., None], gamma[..., None]
     if at is None and fs.tri_attrs.shape[0] == fs.tri_a.shape[0]:
@@ -87,6 +90,8 @@ def compute_hit_attrs(fs: FlatScene, tri, beta, gamma, at=None):
         uv0, uv1, uv2 = fs.uv0[tri], fs.uv1[tri], fs.uv2[tri]
         mat_id = fs.mat_id[tri]
         a, e1, e2 = fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
+    if geom is not None:
+        a, e1, e2 = geom
     position = a + e1 * beta[..., None] + e2 * gamma[..., None]
     normal = pmath.normalize(n0 * w0 + n1 * w1 + n2 * w2)
     tangent = pmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
@@ -449,6 +454,7 @@ def make_integrator(
     differentiable: bool = False,
     chunked: bool = True,
     live_sync: Callable = None,
+    remat_shade: bool = True,
 ):
     """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
     (radiance [R,3], alpha [R])``.
@@ -519,6 +525,12 @@ def make_integrator(
                 # makes dead lanes fail every tile gate.)
                 def live(ss):
                     tr = trace(fs, it, ss)
+                    if not remat_shade:
+                        # Chunked-vjp callers bound residual memory already
+                        # (inverse.make_batch_value_and_grad_fn), so saving
+                        # the shade intermediates beats re-running the
+                        # shade forward during backward.
+                        return shade(fs, it, ss, *tr)
                     return jax.checkpoint(
                         lambda ss2, tr2: shade(fs, it, ss2, *tr2),
                         prevent_cse=False,

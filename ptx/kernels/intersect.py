@@ -118,13 +118,15 @@ class Hit(NamedTuple):
 
 
 def attrs_from_indices(fs: FlatScene, t, tri, beta, gamma, hit,
-                       at=None) -> Hit:
+                       at=None, geom=None) -> Hit:
     """Resolve (triangle index, barycentrics) to the :class:`Hit` payload.
-    ``at``: optionally the already-gathered ``tri_attrs`` rows."""
+    ``at``: optionally the already-gathered ``tri_attrs`` rows; ``geom``:
+    optional (a, e1, e2) override for the vertex columns (the
+    split-geometry-gradient path)."""
     from ptx.integrator.wavefront import compute_hit_attrs
 
     position, n_interp, tangent, uv, mat_id = compute_hit_attrs(
-        fs, tri, beta, gamma, at=at
+        fs, tri, beta, gamma, at=at, geom=geom
     )
     return Hit(hit, t, position, n_interp, tangent, uv, mat_id)
 

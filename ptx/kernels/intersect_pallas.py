@@ -754,14 +754,27 @@ def _grid_call(kernel, rays, tris, boxes, out_shapes, interpret):
     )(order[:, None, :], count[:, None, None], near[:, None, :], rays, tris)
 
 
-def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
+def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False,
+                   split_geom_grad: bool = False):
     """Closest-hit via the Pallas block traversal; returns the Hit payload.
 
     The kernel only *selects* the winning triangle (truncated-t packed min);
     all differentiable quantities are recomputed exactly in the epilogue, so
     gradients never need to flow through the pallas_call — stop_gradient at
     its boundary keeps AD (the geometry-gradient scan, ``ptx.diff``) from
-    tracing kernel internals that have no differentiation rules."""
+    tracing kernel internals that have no differentiation rules.
+
+    ``split_geom_grad``: route d/d vertex-positions through the narrow
+    ``fs.tri_a/e1/e2`` [T, 3] leaves instead of the packed [T, 40]
+    ``tri_attrs`` rows.  The vjp of a row gather is a row scatter-add, and
+    TPU scatter cost scales brutally with row width (measured isolated:
+    776 ms for one [59k, 40] scatter at 32k indices vs 199 ms for three
+    [59k, 3] ones — ``tools/bwd_experiments.py``), so geometry optimization
+    wants the narrow cotangent even at the price of three extra [r, 3]
+    forward gathers.  Values are bit-identical; only the AD routing (and
+    which leaves receive cotangents) changes — shading attrs stay in the
+    stop-gradient'd row because no supported optimization field lives in
+    columns 0-24 (``ptx.diff.inverse.DIFFERENTIABLE_FIELDS``)."""
     from ptx.kernels.intersect import attrs_from_indices
 
     sg = jax.lax.stop_gradient
@@ -787,7 +800,12 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
     # gather op at 131k rays, independent of row width).
     at = (fs.tri_attrs[tri]
           if fs.tri_attrs.shape[0] == fs.tri_a.shape[0] else None)
-    if at is not None:
+    geom = None
+    if at is not None and split_geom_grad:
+        at = sg(at)
+        a, e1, e2 = fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
+        geom = (a, e1, e2)
+    elif at is not None:
         a, e1, e2 = at[:, 25:28], at[:, 28:31], at[:, 31:34]
     else:
         a, e1, e2 = fs.tri_a[tri], fs.tri_e1[tri], fs.tri_e2[tri]
@@ -800,7 +818,7 @@ def closest_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
     # min-distance reduce; ADVICE r3).
     hit = (t_trunc < HIT_T) & (t_exact < INF)
     t = jnp.where(hit, t_exact, INF)
-    return attrs_from_indices(fs, t, tri, beta, gamma, hit, at=at)
+    return attrs_from_indices(fs, t, tri, beta, gamma, hit, at=at, geom=geom)
 
 
 def any_pallas(fs: FlatScene, orig, dirn, interpret: bool = False):
@@ -859,14 +877,19 @@ def closest_pallas_stats(fs: FlatScene, orig, dirn, interpret: bool = False):
     return t[:, 0], idx[:, 0], visited[::RB, 0]
 
 
-def make_backend(static: Optional[SceneStatic] = None, interpret: Optional[bool] = None):
+def make_backend(static: Optional[SceneStatic] = None,
+                 interpret: Optional[bool] = None,
+                 split_geom_grad: bool = False):
     """(closest, any_hit) pair.  ``interpret`` defaults to True off-TPU so the
-    same code path runs (slowly but exactly) in CPU CI."""
+    same code path runs (slowly but exactly) in CPU CI.
+    ``split_geom_grad``: see :func:`closest_pallas` (geometry-gradient AD
+    routing; values unchanged)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     def closest(fs, orig, dirn):
-        return closest_pallas(fs, orig, dirn, interpret)
+        return closest_pallas(fs, orig, dirn, interpret,
+                              split_geom_grad=split_geom_grad)
 
     def any_hit(fs, orig, dirn):
         return any_pallas(fs, orig, dirn, interpret)

@@ -96,7 +96,7 @@ def _measure(jax, fs, static, cfg, plan, mesh):
     from jax.sharding import PartitionSpec as P
 
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P())
+    @partial(shard_map, mesh=mesh, in_specs=P(("dp", "tp")), out_specs=P())
     def allred(x):
         return jax.lax.psum(x, ("dp", "tp"))
 
