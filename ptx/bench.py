@@ -297,21 +297,26 @@ def run_ref_default_bench() -> dict:
         _sponza_path(), "refdefault_640x480x50spp_b10_forward",
         RenderConfig(width=640, height=480, samples=50, bounces=10,
                      intersector="pallas"),
-        reps=1,
+        reps=1, single_pass=True,
     )
     r["vs_baseline"] = round(r["value"] / REF_DEFAULT_BASELINE, 3)
     r["baseline_paths_per_s"] = REF_DEFAULT_BASELINE
     return r
 
 
-def run_scene_bench(scene: str, metric: str, cfg, reps: int = 3) -> dict:
+def run_scene_bench(scene: str, metric: str, cfg, reps: int = 3,
+                    single_pass: bool = False) -> dict:
     """paths/s on one scene/config via the production render path
     (sample-batched launches included).
 
     The full launch sequence is timed ``reps`` times and the fastest pass
     is reported: steady-state throughput, insulated from transient tunnel /
     dispatch stalls (a driver run once recorded a 60x off-reading during a
-    concurrent 17-minute compile)."""
+    concurrent 17-minute compile).  ``single_pass``: for multi-second
+    workloads (the 256-spp / 512x512x64 / 640x480x50 north-star rows) one
+    fenced pass after warmup is accurate to ~the 23 ms tunnel RTT — three
+    30-second passes would blow the driver's bench budget for no extra
+    signal."""
     import jax
     import jax.numpy as jnp
 
@@ -340,10 +345,13 @@ def run_scene_bench(scene: str, metric: str, cfg, reps: int = 3) -> dict:
         file=sys.stderr,
     )
 
-    dt = _timed_passes(
-        lambda: [fn(fs, jnp.int32(i * k)) for i in range(n_launches)],
-        reps,
-    )
+    run = lambda: [fn(fs, jnp.int32(i * k)) for i in range(n_launches)]
+    if single_pass:
+        t0 = time.perf_counter()
+        _sync(run())
+        dt = max(time.perf_counter() - t0 - _fence_rtt(), 1e-9)
+    else:
+        dt = _timed_passes(run, reps)
 
     paths = cfg.width * cfg.height * k * n_launches
     value = paths / dt
@@ -565,14 +573,14 @@ def extra_benches(tiny: bool = False):
             CORNELL, "cornell_256x256x256spp_b4_forward",
             RenderConfig(width=256, height=256, samples=256, bounces=4,
                          intersector="pallas"),
-            reps=1,
+            reps=1, single_pass=True,
         ),
         # BASELINE.json config #3: bundled glTF mesh scene, 512x512, 64 spp.
         "jack_512x512x64spp_b4_forward": lambda: run_scene_bench(
             JACK, "jack_512x512x64spp_b4_forward",
             RenderConfig(width=512, height=512, samples=64, bounces=4,
                          intersector="pallas"),
-            reps=1,
+            reps=1, single_pass=True,
         ),
         # The reference's own default distributed workload: 640x480, 50 spp,
         # <=10 bounces on sponza-new (events/event.json:39-42,
