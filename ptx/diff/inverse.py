@@ -104,7 +104,8 @@ def extract_params(fs: FlatScene, fields: Sequence[str]) -> Dict[str, jnp.ndarra
     return {f: getattr(fs, f) for f in fields}
 
 
-def _resolve_diff_integrator(static, cfg, closest, any_hit, param_fields):
+def _resolve_diff_integrator(static, cfg, closest, any_hit, param_fields,
+                             stages=None):
     """Material/light/texture parameter sets take the fast custom_vjp path
     (fused-Pallas forward, shading-only backward — ``ptx.diff.fast``);
     anything touching geometry/camera keeps the general differentiable scan
@@ -128,7 +129,7 @@ def _resolve_diff_integrator(static, cfg, closest, any_hit, param_fields):
     # in backward (jack 128x128x4spp vertex grads: 91.6k -> 106.1k
     # grad-paths/s measured, tools/bwd_experiments.py).
     return make_integrator(static, cfg, closest, any_hit, differentiable=True,
-                           remat_shade=False)
+                           remat_shade=False, stages=stages)
 
 
 def make_loss_fn(
@@ -274,9 +275,6 @@ def make_batch_value_and_grad_fn(
 
     if closest is None or any_hit is None:
         closest, any_hit = get_backend(static, cfg)
-    integrator = _resolve_diff_integrator(
-        static, cfg, closest, any_hit, param_fields
-    )
     n_pixels = cfg.width * cfg.height
     cap = max_chunk_rays or cfg.rays_per_batch or MAX_RAYS_PER_LAUNCH
 
@@ -292,6 +290,21 @@ def make_batch_value_and_grad_fn(
     cp = _largest_divisor_leq(n_pixels, max(1, cap // k))
     n_chunks = n_pixels // cp
     n_groups = n_samples // k
+
+    # Staged-width scan (wavefront.make_integrator stages=...): AD-safe
+    # survivor compaction exists and is bit-exact (tests/test_diff.py::
+    # test_staged_width_scan_exact), but activating it here is a DOCUMENTED
+    # NEGATIVE RESULT on the 16 GB chip: lax.cond's vjp allocates residual
+    # buffers for both branches, and every checkpointing arrangement tried
+    # still compiled to an over-HBM allocation on jack 128x128x4spp
+    # (plain fallback 51.1 GB; checkpointed fallback 20.9 GB; whole-stage
+    # checkpoint 44.7 GB; checkpointed fallback at 16k-ray chunks
+    # 18.4 GB vs 15.75 GB available).  The plain full-width scan fits and
+    # measures 110k grad-paths/s, so stages stay off until XLA can DCE the
+    # untaken branch's residuals.
+    integrator = _resolve_diff_integrator(
+        static, cfg, closest, any_hit, param_fields
+    )
 
     geom_params = bool(set(param_fields) & set(_GEOM_ATTR_COLS))
 

@@ -455,6 +455,7 @@ def make_integrator(
     chunked: bool = True,
     live_sync: Callable = None,
     remat_shade: bool = True,
+    stages=None,
 ):
     """Build the jittable integrator ``(fs, pixel_ids, sample_ids) ->
     (radiance [R,3], alpha [R])``.
@@ -538,9 +539,75 @@ def make_integrator(
 
                 return jax.lax.cond(jnp.any(s.alive), live, lambda ss: ss, s), None
 
-            state, _ = jax.lax.scan(
-                body, state, jnp.arange(max_iters, dtype=jnp.int32)
-            )
+            def scan_iters(s, it0, it1):
+                if it1 <= it0:
+                    return s
+                s, _ = jax.lax.scan(
+                    body, s, jnp.arange(it0, it1, dtype=jnp.int32)
+                )
+                return s
+
+            def staged(s, it0, it1, width):
+                """Run iterations [it0, it1) at a NARROW static width.
+
+                AD-safe survivor compaction: reverse mode forbids dynamic
+                shapes, but a *static* capacity with a cond fallback is
+                exact — sort lanes live-first (stable permutation), run the
+                scan on the first ``width`` lanes only, and reattach the
+                untouched tail (dead lanes are strict no-ops in the body,
+                so narrow == full bit-for-bit whenever alive <= width; if
+                alive exceeds the capacity the fallback branch runs the
+                full-width scan instead, so the result is ALWAYS exact).
+                Per-iteration sorting lost (the negative result above) —
+                per-STAGE sorting amortizes the permutation gathers over
+                all the stage's iterations."""
+                def narrow(ss):
+                    perm = jnp.argsort(~ss.alive, stable=True)
+                    sp = jax.tree.map(lambda x: x[perm], ss)
+                    head = jax.tree.map(lambda x: x[:width], sp)
+                    tail = jax.tree.map(lambda x: x[width:], sp)
+                    head = scan_iters(head, it0, it1)
+                    sp = jax.tree.map(
+                        lambda h, t: jnp.concatenate([h, t]), head, tail
+                    )
+                    inv = jnp.argsort(perm)
+                    return jax.tree.map(lambda x: x[inv], sp)
+
+                n_alive = jnp.sum(s.alive.astype(jnp.int32))
+                # cond's vjp allocates residual buffers for BOTH branches,
+                # and the full-width fallback scan alone carries the plain
+                # program's residual volume — unchecked, the staged program
+                # OOM'd at compile (51.1 GB vs 15.75 GB HBM).  Checkpoint
+                # the fallback (rare path: pay recompute only when capacity
+                # is actually exceeded); checkpointing the whole stage
+                # instead measured WORSE (44.7 GB — the remat'd cond-vjp
+                # materializes both branches' residuals as temps).  The
+                # remaining headroom comes from the caller running geometry
+                # backward at a 16k-ray chunk cap.
+                fallback = jax.checkpoint(
+                    lambda ss: scan_iters(ss, it0, it1), prevent_cse=False
+                )
+                return jax.lax.cond(n_alive <= width, narrow, fallback, s)
+
+            if stages:
+                # stages: ascending [(start_iter, width), ...] — iterations
+                # before the first stage run full-width, each stage's span
+                # runs at its capacity, exact by the cond fallback.
+                cur = 0
+                for i, (start_it, width) in enumerate(stages):
+                    start_it = max(cur, min(start_it, max_iters))
+                    state = scan_iters(state, cur, start_it)
+                    end_it = (stages[i + 1][0] if i + 1 < len(stages)
+                              else max_iters)
+                    end_it = min(end_it, max_iters)
+                    if start_it < end_it and width < r:
+                        state = staged(state, start_it, end_it, width)
+                    else:
+                        state = scan_iters(state, start_it, end_it)
+                    cur = end_it
+                state = scan_iters(state, cur, max_iters)
+            else:
+                state = scan_iters(state, 0, max_iters)
         elif chunked and do_compact:
             # Survivor-compacted loop (sorted dead-last, live chunks only).
             return _chunked_forward(

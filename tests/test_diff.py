@@ -386,3 +386,45 @@ def test_chunked_vg_hoisted_tile_repack(cornell):
         rtol=1e-5, atol=1e-7,
     )
     assert float(jnp.abs(g_acc["tri_a"]).max()) >= 0  # finite
+
+
+def test_staged_width_scan_exact(cornell):
+    """The staged-width differentiable scan (AD-safe survivor compaction:
+    sort live-first, run later bounces at a static narrow width, cond
+    fallback to full width) must be BIT-identical to the plain scan — dead
+    lanes are strict no-ops, so narrow == full whenever alive fits the
+    capacity, and the fallback covers the rest."""
+    from ptx.integrator.wavefront import make_integrator
+    from ptx.kernels.intersect import make_brute
+
+    fs, static = cornell
+    cfg = _cfg(width=32, height=32, samples=1, bounces=4)
+    closest, any_hit = make_brute()
+    plain = jax.jit(make_integrator(
+        static, cfg, closest, any_hit, differentiable=True,
+        remat_shade=False,
+    ))
+    # 1024 rays: stage capacities 256 exercise BOTH branches across the
+    # spans (cornell keeps >256 alive into iter 2 -> fallback; the 6+
+    # span is mostly dead -> narrow).
+    staged = jax.jit(make_integrator(
+        static, cfg, closest, any_hit, differentiable=True,
+        remat_shade=False, stages=[(2, 256), (3, 256)],
+    ))
+    pix = jnp.arange(1024, dtype=jnp.int32)
+    smp = jnp.zeros_like(pix)
+    r0, a0 = plain(fs, pix, smp)
+    r1, a1 = staged(fs, pix, smp)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    # Gradients through the staged scan match the plain scan too.
+    def loss(albedo, integ):
+        fs2 = fs._replace(mat_albedo=albedo)
+        r, _ = integ(fs2, pix, smp)
+        return jnp.sum(r ** 2)
+
+    g0 = jax.jit(jax.grad(lambda a: loss(a, plain)))(fs.mat_albedo)
+    g1 = jax.jit(jax.grad(lambda a: loss(a, staged)))(fs.mat_albedo)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-6, atol=1e-8)
