@@ -199,7 +199,9 @@ def cmd_invert(args) -> int:
     from ptx.diff.inverse import run_inverse_demo
 
     cfg = _config_from_args(args)
-    run_inverse_demo(args.scene, cfg, steps=args.steps, lr=args.lr)
+    fields = tuple(f.strip() for f in args.params.split(",") if f.strip())
+    run_inverse_demo(args.scene, cfg, steps=args.steps, lr=args.lr,
+                     param_fields=fields)
     return 0
 
 
@@ -213,6 +215,13 @@ def main(argv=None) -> int:
         if name == "invert":
             p.add_argument("--steps", type=int, default=100)
             p.add_argument("--lr", type=float, default=0.05)
+            p.add_argument(
+                "--params", default="mat_albedo,mat_emissive",
+                help="comma-separated optimization fields (mat_albedo, "
+                     "mat_emissive, mat_roughness, mat_metallic, "
+                     "sun_energy, tri_a — geometry gradients flow through "
+                     "the Moller-Trumbore vjp)",
+            )
         if name == "bench":
             p.add_argument("--backward", action="store_true",
                            help="measure grad-paths/s instead of forward")

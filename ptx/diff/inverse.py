@@ -437,11 +437,35 @@ def optimize(
     return params, history
 
 
-def run_inverse_demo(scene_path: str, cfg: RenderConfig, steps=100, lr=0.05):
-    """CLI demo: perturb cornell's albedo + emissive, recover them."""
+# Per-field demo perturbation (initial guess) and box constraints for
+# run_inverse_demo / the `ptx invert` CLI.
+_DEMO_INITS = {
+    "mat_albedo": (lambda fs: jnp.full_like(fs.mat_albedo, 0.5),
+                   (0.0, 1.0)),
+    "mat_emissive": (lambda fs: jnp.zeros_like(fs.mat_emissive),
+                     (0.0, 100.0)),
+    "mat_roughness": (lambda fs: jnp.full_like(fs.mat_roughness, 0.5),
+                      (0.05, 1.0)),
+    "mat_metallic": (lambda fs: jnp.zeros_like(fs.mat_metallic),
+                     (0.0, 1.0)),
+    "sun_energy": (lambda fs: jnp.ones_like(fs.sun_energy), (0.0, 1e4)),
+    # Geometry: start from the true vertices displaced by 2% of the scene
+    # extent along +y — the optimizer must pull them back (gradients flow
+    # through the Moller-Trumbore vjp).
+    "tri_a": (lambda fs: fs.tri_a + 0.02 * float(
+        jnp.max(jnp.abs(fs.tri_a))) * jnp.array([0.0, 1.0, 0.0]), None),
+}
+
+
+def run_inverse_demo(scene_path: str, cfg: RenderConfig, steps=100, lr=0.05,
+                     param_fields: Sequence[str] = ("mat_albedo",
+                                                    "mat_emissive")):
+    """CLI demo: perturb the given scene parameters, recover them by
+    gradient descent against a render of the unperturbed scene."""
     from ptx import render as R
 
-    fs, static = R.load_scene(scene_path, quirks=cfg.quirks)
+    fs, static = R.load_scene(scene_path, quirks=cfg.quirks, device=False)
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
     n_pixels = cfg.width * cfg.height
 
     # Ground-truth target from the unperturbed scene (average a few passes).
@@ -452,13 +476,15 @@ def run_inverse_demo(scene_path: str, cfg: RenderConfig, steps=100, lr=0.05):
         target = target + radiance
     target = target / max(cfg.samples, 1)
 
-    true_albedo = fs.mat_albedo
-    true_emissive = fs.mat_emissive
-    init = {
-        "mat_albedo": jnp.full_like(fs.mat_albedo, 0.5),
-        "mat_emissive": jnp.zeros_like(fs.mat_emissive),
-    }
-    clip = {"mat_albedo": (0.0, 1.0), "mat_emissive": (0.0, 100.0)}
+    bad = [f for f in param_fields if f not in _DEMO_INITS]
+    if bad:
+        raise ValueError(
+            f"no demo init for {bad}; choose from {sorted(_DEMO_INITS)}"
+        )
+    true = {f: getattr(fs, f) for f in param_fields}
+    init = {f: _DEMO_INITS[f][0](fs) for f in param_fields}
+    clip = {f: _DEMO_INITS[f][1] for f in param_fields
+            if _DEMO_INITS[f][1] is not None}
 
     def progress(step, val):
         if step % 10 == 0:
@@ -468,8 +494,9 @@ def run_inverse_demo(scene_path: str, cfg: RenderConfig, steps=100, lr=0.05):
         fs, static, cfg, target, init, steps=steps, lr=lr,
         param_clip=clip, progress=progress,
     )
-    err_a = float(jnp.abs(params["mat_albedo"] - true_albedo).mean())
-    err_e = float(jnp.abs(params["mat_emissive"] - true_emissive).mean())
-    print(f"final loss {history[-1]:.6f}  albedo MAE {err_a:.4f}  "
-          f"emissive MAE {err_e:.4f}")
+    report = "  ".join(
+        f"{f} MAE {float(jnp.abs(params[f] - true[f]).mean()):.4f}"
+        for f in param_fields
+    )
+    print(f"final loss {history[-1]:.6f}  {report}")
     return params, history

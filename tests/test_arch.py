@@ -52,3 +52,27 @@ def test_arch_scheme_string_and_flatten():
     fs, static = R.load_scene("arch:40000", device=False)
     assert 0.75 * 40_000 <= static.n_tris <= 1.25 * 40_000
     assert np.asarray(fs.tri_valid).sum() == static.n_tris
+
+
+def test_arch_render_golden():
+    """Golden-image lock for the architectural fixture: the generator is
+    analytic and seed-free, so any drift in tessellation, the skylight sun,
+    or shading fails here.  Delete the .npy to regenerate after an
+    intentional change."""
+    import os
+
+    import pytest
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "arch20k_32x24_s1_b2.npy"
+    )
+    cfg = RenderConfig(width=32, height=24, samples=1, bounces=2,
+                       intersector="bvh")
+    fs, static = R.load_scene("arch:20000", device=False)
+    fs, static = R.ensure_accel(fs, static, cfg, device=True)
+    res = R.render(fs, static, cfg)
+    if not os.path.exists(golden_path):
+        np.save(golden_path, res.color)
+        pytest.skip("golden image generated")
+    golden = np.load(golden_path)
+    np.testing.assert_allclose(res.color, golden, rtol=1e-4, atol=1e-5)

@@ -428,3 +428,22 @@ def test_staged_width_scan_exact(cornell):
     g1 = jax.jit(jax.grad(lambda a: loss(a, staged)))(fs.mat_albedo)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_invert_cli_geometry_params_smoke():
+    """`ptx invert --params tri_a` routes vertex positions through the
+    general differentiable scan end-to-end (plumbing smoke: cornell's
+    vertex gradient is structurally ~zero, so only completion + the MAE
+    report are asserted)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ptx.cli", "invert", "--scene", CORNELL,
+         "--width", "8", "--height", "8", "--samples", "1", "--bounces",
+         "2", "--steps", "2", "--lr", "0.05", "--cpu",
+         "--intersector", "brute", "--params", "tri_a"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "tri_a MAE" in out.stdout
