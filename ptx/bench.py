@@ -12,10 +12,14 @@ resolution / spp / bounces as the headline metric.
 The JSON line also carries an ``extra`` dict (recorded verbatim into
 ``BENCH_r{N}.json``): the production-kernel roofline (exact executed work vs
 chip peaks — BASELINE.md's "speed-of-light" requirement), material and
-geometry backward grad-paths/s, jack-of-blades (textured + sun NEE), the
-sponza-new stand-in (24 materials, 68M-texel pack), a 1M-triangle synthetic
-soup (traversal stress), 1080p cornell (auto-chunked launches), and a brute
-roofline.  Set ``PTX_BENCH_FULL=0`` to emit the headline metric only.
+full-resolution geometry backward grad-paths/s, the north-star configs
+exactly (cornell at 256 spp, jack-class 512x512x64spp, and the reference's
+own default 640x480x50spp workload with a measured same-scene ref_bench
+baseline), jack-of-blades (textured + sun NEE), the sponza-new stand-in
+(24 materials, 68M-texel pack), the structured architectural courtyard +
+its tile-gate roofline, a 1M-triangle synthetic soup, 1080p cornell
+(auto-chunked launches), the transparent-background claim-blend path, and
+a brute roofline.  Set ``PTX_BENCH_FULL=0`` for the headline metric only.
 
 Run: ``python bench.py`` at the repo root (one JSON line on stdout).
 """
