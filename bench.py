@@ -20,10 +20,10 @@ import sys
 import threading
 import time
 
-WATCHDOG_S = float(os.environ.get("PTX_BENCH_WATCHDOG_S", "420"))
+WATCHDOG_S = float(os.environ.get("PTX_BENCH_WATCHDOG_S", "500"))
 # If the headline itself hasn't landed at the watchdog, keep waiting in
 # grace increments up to this hard limit before giving up (exit 1).
-HARD_S = float(os.environ.get("PTX_BENCH_HARD_S", "560"))
+HARD_S = float(os.environ.get("PTX_BENCH_HARD_S", "570"))
 
 _emitted = threading.Event()
 _t0 = time.monotonic()

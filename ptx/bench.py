@@ -597,11 +597,11 @@ def extra_benches(tiny: bool = False):
         ),
         "sponza_256x256x4spp_b4_forward": lambda: run_scene_bench(
             _sponza_path(), "sponza_256x256x4spp_b4_forward",
-            RenderConfig(**full), reps=2,
+            RenderConfig(**full), reps=1,
         ),
         "soup1m_256x256x4spp_b4_forward": lambda: run_scene_bench(
             "synthetic:1000000", "soup1m_256x256x4spp_b4_forward",
-            RenderConfig(**full), reps=2,
+            RenderConfig(**full), reps=1,
         ),
         # Structured architectural scene (VERDICT r4 #5): coherent normals,
         # real occlusion (courtyard + colonnades + skylight sun), ~273k
@@ -610,7 +610,7 @@ def extra_benches(tiny: bool = False):
         # tiles/block) on architecture vs the 262k random soup.
         "arch300k_256x256x4spp_b4_forward": lambda: run_scene_bench(
             "arch:300000", "arch300k_256x256x4spp_b4_forward",
-            RenderConfig(**full), reps=2,
+            RenderConfig(**full), reps=1,
         ),
         "pallas_roofline_arch": lambda: run_pallas_roofline(
             scene="arch:262144", metric="pallas_roofline_arch",
@@ -625,7 +625,9 @@ def extra_benches(tiny: bool = False):
             reps=2,
         ),
         "transparent": run_transparent_bench,
-        "intersect_roofline": run_intersect_roofline,
+        "intersect_roofline": lambda: run_intersect_roofline(
+            n_rays=32768
+        ),
     }
 
 
