@@ -48,6 +48,15 @@ BASELINE_PATHS_PER_SEC = 1.996e5
 #       640 480 50 10   -> ref_paths_per_sec=168671.1 elapsed_s=91.065
 REF_DEFAULT_BASELINE = 1.68671e5
 
+# MEASURED reference baselines at the other two north-star configs (same
+# 2-vCPU host, same scenes/configs as the TPU rows):
+#   ref_bench cornell.gltf 256 256 256 4  -> 226,091.7 paths/s (74.2 s)
+#   ref_bench jack-of-blades.gltf 512 512 64 4 -> 436,604.7 paths/s (38.4 s)
+# (jack's rate beats its cornell rate because the character covers a small
+# screen fraction — most primary rays miss everything and terminate.)
+REF_CORNELL_256SPP = 2.260917e5
+REF_JACK_512_64 = 4.366047e5
+
 CORNELL = "/root/reference/path-tracer-core/scenes/cornell-box/cornell.gltf"
 JACK = (
     "/root/reference/path-tracer-core/scenes/jack-of-blades/jack-of-blades.gltf"
@@ -288,6 +297,13 @@ def run_transparent_bench() -> dict:
         "opaque_paths_per_s": round(paths / dt_o, 1),
         "claim_over_opaque": round(dt_t / dt_o, 3),
     }
+
+
+def _with_baseline(r: dict, baseline: float) -> dict:
+    """Attach a measured same-config ref_bench baseline to a scene row."""
+    r["vs_baseline"] = round(r["value"] / baseline, 3)
+    r["baseline_paths_per_s"] = baseline
+    return r
 
 
 def run_ref_default_bench() -> dict:
@@ -573,18 +589,22 @@ def extra_benches(tiny: bool = False):
         ),
         # --- north-star configs, exactly as specified (VERDICT r4 #2) ---
         # BASELINE.md's target metric is rays/sec/chip at **256 spp**:
-        "cornell_256x256x256spp_b4_forward": lambda: run_scene_bench(
-            CORNELL, "cornell_256x256x256spp_b4_forward",
-            RenderConfig(width=256, height=256, samples=256, bounces=4,
-                         intersector="pallas"),
-            reps=1, single_pass=True,
+        "cornell_256x256x256spp_b4_forward": lambda: _with_baseline(
+            run_scene_bench(
+                CORNELL, "cornell_256x256x256spp_b4_forward",
+                RenderConfig(width=256, height=256, samples=256, bounces=4,
+                             intersector="pallas"),
+                reps=1, single_pass=True,
+            ), REF_CORNELL_256SPP,
         ),
         # BASELINE.json config #3: bundled glTF mesh scene, 512x512, 64 spp.
-        "jack_512x512x64spp_b4_forward": lambda: run_scene_bench(
-            JACK, "jack_512x512x64spp_b4_forward",
-            RenderConfig(width=512, height=512, samples=64, bounces=4,
-                         intersector="pallas"),
-            reps=1, single_pass=True,
+        "jack_512x512x64spp_b4_forward": lambda: _with_baseline(
+            run_scene_bench(
+                JACK, "jack_512x512x64spp_b4_forward",
+                RenderConfig(width=512, height=512, samples=64, bounces=4,
+                             intersector="pallas"),
+                reps=1, single_pass=True,
+            ), REF_JACK_512_64,
         ),
         # The reference's own default distributed workload: 640x480, 50 spp,
         # <=10 bounces on sponza-new (events/event.json:39-42,
