@@ -164,15 +164,29 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
         return live_sync(live) if live_sync is not None else live
 
     def outer_cond(carry):
-        it, s, _, live = carry
+        it, s, _, live, _ = carry
         return (it < max_iters) & (live > 0)
 
     def outer_body(carry):
-        it, s, slot, live = carry
-        key = sorting.ray_keys(s.orig, s.dirn, static.aabb_lo, static.aabb_hi)
-        perm = jnp.argsort(jnp.where(s.alive, key, dead_key))
-        s = jax.tree.map(lambda x: x[perm], s)
-        slot = slot[perm]
+        it, s, slot, live, in_c0 = carry
+
+        def do_sort(args):
+            ss, sl = args
+            key = sorting.ray_keys(
+                ss.orig, ss.dirn, static.aabb_lo, static.aabb_hi
+            )
+            perm = jnp.argsort(jnp.where(ss.alive, key, dead_key))
+            return jax.tree.map(lambda x: x[perm], ss), sl[perm]
+
+        # Straggler fast path: once every live lane fits in chunk 0 (post-
+        # sort), lanes only die IN PLACE there — re-sorting each iteration
+        # is pure overhead (the full-width argsort + 9-field permutation
+        # gathers measured ~23 ms of a 79 ms jack launch across the
+        # opacity-straggler iterations).  ``in_c0`` certifies the
+        # containment, so skipping is exact; it derives from the synced
+        # live count, so trip counts stay uniform under SPMD.
+        s, slot = jax.lax.cond(in_c0, lambda a: a, do_sort, (s, slot))
+        in_c0 = in_c0 | (live <= chunk)
         n_live = jnp.minimum((live + chunk - 1) // chunk, n_chunks)
 
         def chunk_body(cc):
@@ -194,11 +208,11 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
         _, s = jax.lax.while_loop(
             lambda cc: cc[0] < n_live, chunk_body, (jnp.int32(0), s)
         )
-        return it + 1, s, slot, count_live(s)
+        return it + 1, s, slot, count_live(s), in_c0
 
-    _, state, slot, _ = jax.lax.while_loop(
+    _, state, slot, _, _ = jax.lax.while_loop(
         outer_cond, outer_body,
-        (jnp.int32(0), state, slot0, count_live(state)),
+        (jnp.int32(0), state, slot0, count_live(state), jnp.bool_(False)),
     )
     # Undo the accumulated permutation for the two outputs the caller reads.
     radiance = jnp.zeros_like(state.radiance).at[slot].set(state.radiance)
