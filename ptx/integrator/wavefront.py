@@ -131,6 +131,10 @@ def _brdf_and_pdfs(normal, outcoming, incoming, albedo, metallic, roughness):
 # enough that a nearly-dead wavefront costs ~1/8 of a full-width pass, big
 # enough that the Pallas launches stay efficient.
 CHUNK = 8192
+# Live-lane count below which the per-iteration re-sort is skipped (the
+# compaction is already certified and the coherence value of sorting a
+# tiny straggler set is less than the full-width argsort it costs).
+SKIP_SORT_MAX = 4096
 
 
 def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
@@ -184,9 +188,14 @@ def _chunked_forward(step_fn, fs, state: RayState, max_iters: int,
         # gathers measured ~23 ms of a 79 ms jack launch across the
         # opacity-straggler iterations).  ``in_c0`` certifies the
         # containment, so skipping is exact; it derives from the synced
-        # live count, so trip counts stay uniform under SPMD.
+        # live count, so trip counts stay uniform under SPMD.  The skip
+        # only engages below SKIP_SORT_MAX live lanes: the sort ALSO buys
+        # morton coherence for the tile gate, worth more than the sort
+        # while the live set is big (single-chunk launches certify
+        # trivially — 640x480's 28800-ray chunks measured 306k -> 234k
+        # paths/s when they stopped re-sorting entirely).
         s, slot = jax.lax.cond(in_c0, lambda a: a, do_sort, (s, slot))
-        in_c0 = in_c0 | (live <= chunk)
+        in_c0 = in_c0 | (live <= min(chunk, SKIP_SORT_MAX))
         n_live = jnp.minimum((live + chunk - 1) // chunk, n_chunks)
 
         def chunk_body(cc):
